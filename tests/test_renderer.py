@@ -1,0 +1,90 @@
+"""Renderer integration tests on the analytic cube-room scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ucsa_neural_rendering_tpu.data import get_rays
+from ucsa_neural_rendering_tpu.data.synthetic import make_synthetic_scene
+from ucsa_neural_rendering_tpu.models import SemanticNeRF
+from ucsa_neural_rendering_tpu.ops.renderer import (RenderConfig,
+                                                    normalize_semantics,
+                                                    render_rays,
+                                                    render_rays_staged)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = SemanticNeRF(bound=1.0, num_semantic_classes=6, n_levels=4,
+                         log2_hashmap_size=12)
+    x = jnp.zeros((4, 3))
+    d = jnp.zeros((4, 3)).at[:, 2].set(1.0)
+    variables = model.init(jax.random.key(0), x, d)
+    return model, variables
+
+
+def test_render_shapes_and_finiteness(tiny_model):
+    model, variables = tiny_model
+    cfg = RenderConfig(num_steps=16, upsample_steps=16)
+    n = 32
+    rays_o = jnp.zeros((n, 3))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    dn = jnp.ones((n,))
+    out = render_rays(model, variables, rays_o, rays_d, dn,
+                      jax.random.key(1), cfg)
+    assert out["image"].shape == (n, 3)
+    assert out["semantics"].shape == (n, 6)
+    assert out["depth"].shape == (n,)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_staged_render_matches_unstaged(tiny_model):
+    """Chunked full-frame render must equal the single-batch render."""
+    model, variables = tiny_model
+    cfg = RenderConfig(num_steps=16, upsample_steps=16, max_ray_batch=40)
+    frames, intr = make_synthetic_scene(1, 8, 13)  # 104 rays, 40-chunks → pad
+    rays = get_rays(jnp.asarray(frames[0]["pose"]), jnp.asarray(intr), 8, 13)
+    full = render_rays(model, variables, rays["rays_o"], rays["rays_d"],
+                       rays["direction_norms"], None, cfg)
+    staged = render_rays_staged(model, variables, rays["rays_o"],
+                                rays["rays_d"], rays["direction_norms"], cfg)
+    for k in full:
+        np.testing.assert_allclose(np.asarray(staged[k]), np.asarray(full[k]),
+                                   rtol=2e-2, atol=1e-5)
+
+
+def test_deterministic_without_key(tiny_model):
+    model, variables = tiny_model
+    cfg = RenderConfig(num_steps=16, upsample_steps=16)
+    rays_o = jnp.zeros((8, 3))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (8, 1))
+    dn = jnp.ones((8,))
+    a = render_rays(model, variables, rays_o, rays_d, dn, None, cfg)
+    b = render_rays(model, variables, rays_o, rays_d, dn, None, cfg)
+    np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
+
+
+def test_normalize_semantics():
+    sem = jnp.array([[0.2, 0.2], [0.0, 0.0]])
+    out, invalid = normalize_semantics(sem)
+    np.testing.assert_allclose(np.asarray(out),
+                               [[0.5, 0.5], [0.5, 0.5]], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(invalid), [False, True])
+
+
+def test_depth_is_zdepth(tiny_model):
+    """With an opaque field, depth ≈ (distance to surface)/direction_norm."""
+    model, variables = tiny_model
+
+    # overfit-free check: hand-build a delta-like density by monkeypatching is
+    # overkill; instead verify depth < far plane and scales with dn
+    cfg = RenderConfig(num_steps=32, upsample_steps=0)
+    rays_o = jnp.zeros((4, 3))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1))
+    dn = jnp.array([1.0, 1.1, 1.2, 1.3])
+    out = render_rays(model, variables, rays_o, rays_d, dn, None, cfg)
+    d = np.asarray(out["depth"])
+    ratio = d * np.asarray(dn)
+    np.testing.assert_allclose(ratio, ratio[0], rtol=1e-5)

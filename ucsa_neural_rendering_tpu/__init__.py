@@ -1,0 +1,33 @@
+"""ucsa_neural_rendering_tpu — TPU-native framework for unsupervised continual
+semantic adaptation through neural rendering.
+
+A from-scratch JAX/Flax/Pallas rebuild of the capabilities of the CVPR 2023
+reference `ethz-asl/ucsa_neural_rendering` (nr4seg): a Semantic-NeRF
+(multi-resolution hash-grid encoding + fused MLPs + volumetric rendering with
+RGB/depth/semantics heads) trained jointly with a DeepLabV3-ResNet101
+segmentation network for per-scene continual adaptation on ScanNet.
+
+Layout (TPU-first, not a port):
+  config/    YAML two-layer config system           (ref: nr4seg/utils/loading.py, cfg/)
+  data/      host-side datasets, rays, label decode (ref: nr4seg/dataset/)
+  models/    hash encoding, MLPs, NeRF, DeepLabV3   (ref: nr4seg/nerf/, nr4seg/network/)
+  ops/       sampling, compositing, renderer, pallas kernels
+                                                     (ref: nr4seg/nerf/renderer_semantics.py,
+                                                      nr4seg/nerf/raymarching/)
+  parallel/  device mesh + sharding helpers          (ref: Lightning DDP usage)
+  train/     jitted train/eval/render steps + loops  (ref: nr4seg/lightning/, scripts/)
+  metrics/   device-side confusion-matrix meter      (ref: nr4seg/utils/metrics.py)
+  viz/       palettes + PNG dumps                    (ref: nr4seg/visualizer/)
+  utils/     logging, flatten_dict
+"""
+
+import os
+
+ROOT_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Default env-config name, mirroring the reference's ENV_WORKSTATION_NAME
+# convention (ref: nr4seg/__init__.py:3-6).
+if "ENV_WORKSTATION_NAME" not in os.environ:
+    os.environ["ENV_WORKSTATION_NAME"] = "env"
+
+__version__ = "0.1.0"

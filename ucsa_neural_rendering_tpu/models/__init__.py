@@ -1,0 +1,6 @@
+from .activation import trunc_exp
+from .hash_encoding import HashGridEncoding
+from .sh_encoding import sh_encoding
+from .semantic_nerf import SemanticNeRF
+
+__all__ = ["trunc_exp", "HashGridEncoding", "sh_encoding", "SemanticNeRF"]

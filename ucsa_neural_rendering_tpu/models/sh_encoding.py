@@ -1,0 +1,48 @@
+"""Spherical-harmonics direction encoding (degree 4 → 16 coefficients).
+
+Replaces the reference's tiny-cuda-nn SphericalHarmonics encoding
+(ref: nr4seg/nerf/network_tcnn_semantics.py:64-70). The tcnn convention
+takes directions mapped to [0,1] and internally rescales to [-1,1]; here we
+take unit directions in [-1,1] directly (the renderer feeds normalized ray
+directions). Pure elementwise polynomials — fuses into the color MLP matmul.
+
+Coefficients are the standard real-SH constants used by instant-ngp/tcnn
+(hard-coded Legendre polynomial values, public domain math).
+"""
+
+import jax.numpy as jnp
+
+
+def sh_encoding(d: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
+    """d: [..., 3] unit directions in [-1, 1] → [..., degree**2] SH basis."""
+    assert 1 <= degree <= 4
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+
+    out = [jnp.full_like(x, 0.28209479177387814)]  # l=0
+    if degree >= 2:
+        out += [
+            -0.48860251190291987 * y,
+            0.48860251190291987 * z,
+            -0.48860251190291987 * x,
+        ]
+    if degree >= 3:
+        out += [
+            1.0925484305920792 * xy,
+            -1.0925484305920792 * yz,
+            0.94617469575755997 * zz - 0.31539156525251999,
+            -1.0925484305920792 * xz,
+            0.54627421529603959 * (xx - yy),
+        ]
+    if degree >= 4:
+        out += [
+            0.59004358992664352 * y * (-3.0 * xx + yy),
+            2.8906114426405538 * xy * z,
+            0.45704579946446572 * y * (1.0 - 5.0 * zz),
+            0.3731763325901154 * z * (5.0 * zz - 3.0),
+            0.45704579946446572 * x * (1.0 - 5.0 * zz),
+            1.4453057213202769 * z * (xx - yy),
+            0.59004358992664352 * x * (-xx + 3.0 * yy),
+        ]
+    return jnp.stack(out, axis=-1)

@@ -1,0 +1,172 @@
+"""Volumetric Semantic-NeRF renderer — jit-compiled, static shapes.
+
+TPU-native re-design of the reference's `SemanticNeRFRenderer.run/render`
+(ref: nr4seg/nerf/renderer_semantics.py:123-358):
+
+  coarse: AABB slab test → 256 stratified z (optionally jittered) →
+          density(hash + sigma MLP)
+  fine:   stop-gradient compositing weights → inverse-CDF resample 256 more →
+          second density pass → merge + sort 512 samples
+  shade:  alpha compositing; color MLP (SH dir + geo feat) and semantics MLP
+          evaluated densely (the reference's dynamic `weights > 1e-4` gather
+          becomes a weight mask in the reduction — static shapes on TPU)
+  out:    rgb [N,3], semantic probs [N,C], z-depth [N]
+
+Differences from the reference, by design:
+  * one traced function instead of Python-loop chunking — full-image renders
+    use `lax.map` over fixed-size ray chunks (ref staged loop :321-342);
+  * randomness via explicit jax.random keys;
+  * fp32 compositing over bf16 MLP outputs (ref uses fp16 AMP + GradScaler);
+  * `bg_color` is omitted: the reference accepts it but never mixes it in
+    (quirk, ref :288-293).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..models.semantic_nerf import SemanticNeRF
+from .aabb import near_far_from_aabb
+from .compositing import composite, composite_weights
+from .sampling import sample_pdf, stratified_samples
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    num_steps: int = 256
+    upsample_steps: int = 256
+    density_scale: float = 1.0
+    min_near: float = 0.2
+    weight_mask_threshold: float = 1e-4
+    max_ray_batch: int = 4096
+
+
+def _clip_to_aabb(xyz, aabb):
+    return jnp.minimum(jnp.maximum(xyz, aabb[:3]), aabb[3:])
+
+
+def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
+                rays_d: jnp.ndarray, direction_norms: jnp.ndarray,
+                key: jax.Array | None, cfg: RenderConfig = RenderConfig()):
+    """Render a flat batch of rays.
+
+    Args:
+      rays_o, rays_d: [N, 3] origins / unit directions (scene units).
+      direction_norms: [N] norms of the unnormalized pixel directions
+        (converts distance-along-ray to z-depth, ref :274-277).
+      key: PRNG key → perturbed (training) sampling; None → deterministic.
+
+    Returns dict: image [N,3], semantics [N,C] (unnormalized probability
+    mass, sums to accumulated weight), depth [N] (z-depth in scene units).
+    """
+    bound = model.bound
+    aabb = jnp.array([-bound, -bound, -bound, bound, bound, bound],
+                     jnp.float32)
+    n_rays = rays_o.shape[0]
+
+    density_fn = lambda pts: model.apply(variables, pts, method="density")
+    color_fn = lambda d, g: model.apply(variables, d, g, method="color")
+    semantics_fn = lambda g: model.apply(variables, g, method="semantics")
+
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+
+    if key is not None:
+        k_coarse, k_fine = jax.random.split(key)
+    else:
+        k_coarse = k_fine = None
+
+    # --- coarse pass ---
+    z_vals = stratified_samples(nears, fars, cfg.num_steps, k_coarse)  # [N,T]
+    xyz = _clip_to_aabb(
+        rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None], aabb)
+    sigma, geo = density_fn(xyz.reshape(-1, 3))
+    sigma = sigma.reshape(n_rays, cfg.num_steps)
+    geo = geo.reshape(n_rays, cfg.num_steps, -1)
+
+    # --- fine pass: importance-resample from detached coarse weights ---
+    if cfg.upsample_steps > 0:
+        w_coarse = jax.lax.stop_gradient(
+            composite_weights(z_vals, sigma, cfg.density_scale))
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        new_z = sample_pdf(z_mid, w_coarse[:, 1:-1], cfg.upsample_steps,
+                           k_fine)
+        new_z = jax.lax.stop_gradient(new_z)
+        new_xyz = _clip_to_aabb(
+            rays_o[:, None, :] + rays_d[:, None, :] * new_z[..., None], aabb)
+        new_sigma, new_geo = density_fn(new_xyz.reshape(-1, 3))
+        new_sigma = new_sigma.reshape(n_rays, cfg.upsample_steps)
+        new_geo = new_geo.reshape(n_rays, cfg.upsample_steps, -1)
+
+        z_all = jnp.concatenate([z_vals, new_z], axis=-1)
+        order = jnp.argsort(z_all, axis=-1)
+        z_vals = jnp.take_along_axis(z_all, order, axis=-1)
+        sigma = jnp.take_along_axis(
+            jnp.concatenate([sigma, new_sigma], axis=-1), order, axis=-1)
+        geo = jnp.take_along_axis(
+            jnp.concatenate([geo, new_geo], axis=1), order[..., None], axis=1)
+
+    # --- shade + composite ---
+    weights = composite_weights(z_vals, sigma, cfg.density_scale)
+    t_total = z_vals.shape[-1]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (n_rays, t_total, 3))
+    rgbs = color_fn(dirs.reshape(-1, 3),
+                    geo.reshape(-1, geo.shape[-1])).reshape(n_rays, t_total, 3)
+    sems = semantics_fn(geo.reshape(-1, geo.shape[-1])).reshape(
+        n_rays, t_total, -1)
+
+    image, semantics, depth = composite(weights, z_vals, rgbs, sems,
+                                        direction_norms,
+                                        cfg.weight_mask_threshold)
+    return {"image": image, "semantics": semantics, "depth": depth}
+
+
+def render_rays_staged(model: SemanticNeRF, variables: Any,
+                       rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                       direction_norms: jnp.ndarray,
+                       cfg: RenderConfig = RenderConfig()):
+    """Full-frame render: lax.map over fixed-size ray chunks.
+
+    Replaces the reference's Python `while head < N` staging loop
+    (ref :321-342). Rays are padded to a multiple of max_ray_batch; the
+    sequential map bounds peak memory to one chunk's activations.
+    """
+    n = rays_o.shape[0]
+    chunk = cfg.max_ray_batch
+    n_pad = (-n) % chunk
+
+    def pad(x, fill=0.0):
+        if n_pad == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((n_pad,) + x.shape[1:], fill, x.dtype)], 0)
+
+    ro = pad(rays_o).reshape(-1, chunk, 3)
+    # pad directions with +z unit vectors so padded lanes stay finite
+    rd = rays_d
+    if n_pad:
+        unit_z = jnp.tile(jnp.array([[0.0, 0.0, 1.0]], rays_d.dtype),
+                          (n_pad, 1))
+        rd = jnp.concatenate([rays_d, unit_z], 0)
+    rd = rd.reshape(-1, chunk, 3)
+    dn = pad(direction_norms, fill=1.0).reshape(-1, chunk)
+
+    def one_chunk(args):
+        o, d, nrm = args
+        return render_rays(model, variables, o, d, nrm, None, cfg)
+
+    out = jax.lax.map(one_chunk, (ro, rd, dn))
+    return {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}
+
+
+def normalize_semantics(semantics: jnp.ndarray):
+    """Renormalize accumulated semantic mass to a distribution; rays with no
+    mass become uniform and are flagged invalid
+    (ref: joint_train_lightning_net.py:201-206,248-251)."""
+    total = jnp.sum(semantics, axis=-1, keepdims=True)
+    invalid = total[..., 0] == 0
+    sem = jnp.where(invalid[..., None], 1.0, semantics)
+    sem = sem / jnp.sum(sem, axis=-1, keepdims=True)
+    return sem, invalid
