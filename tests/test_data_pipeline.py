@@ -1,0 +1,185 @@
+"""Dataset / loader / augmentation tests on the synthetic fixtures."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ucsa_neural_rendering_tpu.data import (DataLoader, LabelLoaderAuto,
+                                            ScanNet, ScanNetCLJoint,
+                                            ScanNetNGP, ScanNetNGPJoint,
+                                            create_split, nerf_matrix_to_ngp)
+from ucsa_neural_rendering_tpu.data.synthetic import (
+    write_synthetic_25k_dir, write_synthetic_scene_dir)
+
+H, W = 32, 40
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scenes"))
+    write_synthetic_scene_dir(root, "scene0000_00", n_frames=6, H=H, W=W)
+    write_synthetic_scene_dir(root, "scene0001_00", n_frames=6, H=H, W=W)
+    return root
+
+
+@pytest.fixture(scope="module")
+def frames25k_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("frames25k"))
+    paths = write_synthetic_25k_dir(root, n_scenes=2, n_frames_per_scene=3,
+                                    H=2 * H, W=2 * W)
+    return root, paths
+
+
+def test_label_loader_fast_format(frames25k_dir):
+    root, paths = frames25k_dir
+    loader = LabelLoaderAuto(root_scannet=root)
+    label, method = loader.get(
+        paths[0].replace("color", "label").replace("jpg", "png"))
+    assert method == "FAST"
+    assert label.min() >= 0 and label.max() <= 40
+
+
+def test_scannet25k_dataset(frames25k_dir):
+    root, paths = frames25k_dir
+    ds = ScanNet(root=root, img_list=paths, mode="train",
+                 output_size=(H, W))
+    img, label, ori = ds[0]
+    assert img.shape == (H, W, 3) and img.dtype == np.float32
+    assert label.shape == (H, W) and label.dtype == np.int32
+    assert label.min() >= -1 and label.max() < 40
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    # val path (no augmentation) is deterministic
+    ds_val = ScanNet(root=root, img_list=paths, mode="val",
+                     output_size=(H, W))
+    a = ds_val[0]
+    b = ds_val[0]
+    np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_scannet_ngp_joint_item(scene_dir):
+    ds = ScanNetNGPJoint(root=scene_dir, scene_list=["scene0000_00"],
+                         mode="train", output_size=(H, W),
+                         exp_name="exp_test")
+    assert len(ds) == 5  # 6 frames − 20% val (1 frame)
+    item = ds[0]
+    assert item["img"].shape == (H, W, 3)
+    assert item["label"].shape == (H, W)
+    assert item["depth"].shape == (H, W)
+    assert item["pose"].shape == (4, 4)
+    assert item["from_old_scene"] is False
+    assert item["current_scene_name"] == "scene0000_00"
+    # depth roundtrip (mm png) ≈ analytic depth
+    assert 0.5 < item["depth"].mean() < 5.0
+    # pose went through nerf_matrix_to_ngp: rotation stays orthonormal
+    r = item["pose"][:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
+
+
+def test_scannet_ngp_joint_pose_roundtrip(scene_dir):
+    """Pose stored in transforms_train.json must map back to the NGP pose the
+    fixture rendered with."""
+    from ucsa_neural_rendering_tpu.data.synthetic import make_synthetic_scene
+    frames, _ = make_synthetic_scene(6, H, W)
+    with open(os.path.join(scene_dir, "scene0000_00",
+                           "transforms_train.json")) as f:
+        meta = json.load(f)
+    stored = np.array(meta["frames"][0]["transform_matrix"], np.float32)
+    np.testing.assert_allclose(nerf_matrix_to_ngp(stored),
+                               frames[0]["pose"], atol=1e-5)
+
+
+def test_scannet_ngp_joint_val_split(scene_dir):
+    ds_val = ScanNetNGPJoint(root=scene_dir, scene_list=["scene0000_00"],
+                             mode="val", output_size=(H, W),
+                             exp_name="exp_test", only_new_scene=False,
+                             val_scene_list=["scene0000_00", "scene0001_00"])
+    assert len(ds_val) == 2  # 1 val frame per scene x 2 scenes
+    item = ds_val[0]
+    assert item["from_old_scene"] is False
+
+
+def test_joint_collate_three_way(scene_dir):
+    ds = ScanNetNGPJoint(root=scene_dir, scene_list=["scene0000_00"],
+                         mode="train", output_size=(H, W),
+                         exp_name="exp_test")
+    items = [ds[0], ds[1]]
+    items[0]["replay_img"] = np.zeros((1, H, W, 3), np.float32)
+    items[0]["replay_label"] = np.zeros((1, H, W), np.int32)
+    batch_old, batch_new, batch_cl = ScanNetNGPJoint.collate(items)
+    assert batch_old is None
+    assert batch_new["img"].shape == (2, H, W, 3)
+    assert batch_cl["replay_img"].shape == (1, 1, H, W, 3)
+
+
+def test_cl_joint_mixer(scene_dir, frames25k_dir):
+    root25k, paths = frames25k_dir
+    ds25k = ScanNet(root=root25k, img_list=paths, mode="train",
+                    output_size=(H, W))
+    ngp = ScanNetNGPJoint(root=scene_dir, scene_list=["scene0000_00"],
+                          mode="train", output_size=(H, W),
+                          exp_name="exp_test")
+    mixed = ScanNetCLJoint(ds25k, ngp, ngp_25k_ratio=2)
+    item = mixed[0]
+    assert item["replay_img"].shape == (2, H, W, 3)
+    assert item["replay_label"].shape == (2, H, W)
+
+
+def test_scannet_ngp_finetune(scene_dir):
+    ds = ScanNetNGP(root=scene_dir, scene_list=["scene0000_00"], mode="val",
+                    val_mode="gtgt", output_size=(H, W))
+    img, label, ori, scene = ds[0]
+    assert scene == "scene0000_00"
+    assert label.min() >= -1 and label.max() < 40
+
+
+def test_dataloader_shuffle_and_collate(frames25k_dir):
+    root, paths = frames25k_dir
+    ds = ScanNet(root=root, img_list=paths, mode="val", output_size=(H, W))
+    dl = DataLoader(ds, batch_size=3, shuffle=True, drop_last=True, seed=1)
+    batches = list(dl)
+    assert len(batches) == len(ds) // 3
+    img, label, ori = batches[0]
+    assert img.shape == (3, H, W, 3)
+    assert label.shape == (3, H, W)
+
+
+def test_create_split(frames25k_dir):
+    root, paths = frames25k_dir
+    split = create_split(root, val_ratio=0.5, seed=0)
+    assert len(split["val"]) == len(paths) // 2
+    assert set(split["test"]) == set(split["val"])
+    assert len(split["train"]) + len(split["val"]) == len(paths)
+
+
+def test_augment_label_value_preservation(rng):
+    """Augmentation must not invent label values (nearest interp only)."""
+    import jax
+    from ucsa_neural_rendering_tpu.data.augmentation import augment
+
+    img = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    label = rng.integers(0, 7, (H, W)).astype(np.float32)
+    out_img, out_labels = augment(jax.random.key(0), img, [label],
+                                  out_hw=(24, 32))
+    vals = set(np.unique(np.asarray(out_labels[0])).astype(int))
+    assert vals.issubset(set(range(0, 7)) | {0})
+    assert out_img.shape == (24, 32, 3)
+    assert 0.0 <= float(np.min(out_img)) and float(np.max(out_img)) <= 1.0
+
+
+def test_augment_only_crop_deterministic(rng):
+    import jax
+    from ucsa_neural_rendering_tpu.data.augmentation import augment
+
+    img = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    label = rng.integers(0, 7, (H, W)).astype(np.float32)
+    a = augment(jax.random.key(0), img, [label], out_hw=(24, 32),
+                only_crop=True)
+    b = augment(jax.random.key(5), img, [label], out_hw=(24, 32),
+                only_crop=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    # center crop of identity-size == identity
+    c = augment(jax.random.key(0), img, [label], out_hw=(H, W),
+                only_crop=True)
+    np.testing.assert_array_equal(np.asarray(c[0]), img)

@@ -1,0 +1,181 @@
+"""DeepLabV3 Flax model + torch-checkpoint converter tests.
+
+torchvision is not installed here, so the converter is tested against a
+synthesized state dict with the exact torchvision deeplabv3_resnet101 key
+set and shapes, and conv/BN/resize semantics are cross-checked against raw
+torch (available CPU-only) for numerical parity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ucsa_neural_rendering_tpu.models import DeepLabV3
+from ucsa_neural_rendering_tpu.models.torch_converter import (
+    check_tree_shapes, convert_deeplab_state_dict, strip_lightning_prefix)
+
+BLOCKS = {"layer1": (3, 64, 256), "layer2": (4, 128, 512),
+          "layer3": (23, 256, 1024), "layer4": (3, 512, 2048)}
+
+
+def fake_torchvision_state_dict(rng, num_classes=40, with_aux=True,
+                                lightning_prefix=None):
+    """Exact key set + shapes of torchvision deeplabv3_resnet101."""
+    sd = {}
+
+    def conv(name, cout, cin, k):
+        sd[name + ".weight"] = rng.normal(size=(cout, cin, k, k)).astype(
+            np.float32) * 0.05
+
+    def bn(name, c):
+        sd[name + ".weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[name + ".bias"] = rng.normal(size=c).astype(np.float32) * 0.1
+        sd[name + ".running_mean"] = rng.normal(size=c).astype(np.float32) * 0.1
+        sd[name + ".running_var"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[name + ".num_batches_tracked"] = np.array(100)
+
+    conv("backbone.conv1", 64, 3, 7)
+    bn("backbone.bn1", 64)
+    inplanes = 64
+    for lname, (n, planes, cout) in BLOCKS.items():
+        for b in range(n):
+            base = f"backbone.{lname}.{b}"
+            cin = inplanes if b == 0 else cout
+            conv(base + ".conv1", planes, cin, 1)
+            bn(base + ".bn1", planes)
+            conv(base + ".conv2", planes, planes, 3)
+            bn(base + ".bn2", planes)
+            conv(base + ".conv3", cout, planes, 1)
+            bn(base + ".bn3", cout)
+            if b == 0:
+                conv(base + ".downsample.0", cout, cin, 1)
+                bn(base + ".downsample.1", cout)
+        inplanes = cout
+
+    # ASPP: branches 0 (1x1) + 1-3 (3x3 atrous) + 4 (pool)
+    conv("classifier.0.convs.0.0", 256, 2048, 1)
+    bn("classifier.0.convs.0.1", 256)
+    for i in (1, 2, 3):
+        conv(f"classifier.0.convs.{i}.0", 256, 2048, 3)
+        bn(f"classifier.0.convs.{i}.1", 256)
+    conv("classifier.0.convs.4.1", 256, 2048, 1)
+    bn("classifier.0.convs.4.2", 256)
+    conv("classifier.0.project.0", 256, 1280, 1)
+    bn("classifier.0.project.1", 256)
+    conv("classifier.1", 256, 256, 3)
+    bn("classifier.2", 256)
+    conv("classifier.4", num_classes, 256, 1)
+    sd["classifier.4.bias"] = rng.normal(size=num_classes).astype(np.float32)
+
+    if with_aux:
+        conv("aux_classifier.0", 256, 1024, 3)
+        bn("aux_classifier.1", 256)
+        conv("aux_classifier.4", num_classes, 256, 1)
+        sd["aux_classifier.4.bias"] = rng.normal(size=num_classes).astype(
+            np.float32)
+    if lightning_prefix:
+        sd = {lightning_prefix + k: v for k, v in sd.items()}
+    return sd
+
+
+@pytest.fixture(scope="module")
+def deeplab_init():
+    model = DeepLabV3(num_classes=40)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 33, 41, 3)),
+                           use_running_average=False)
+    return model, variables
+
+
+@pytest.mark.slow
+def test_converter_covers_full_tree(deeplab_init):
+    model, variables = deeplab_init
+    rng = np.random.default_rng(0)
+    sd = fake_torchvision_state_dict(rng, with_aux=True,
+                                     lightning_prefix="_model._model.")
+    params, batch_stats = convert_deeplab_state_dict(sd)
+    errs = check_tree_shapes(params, variables["params"])
+    errs += check_tree_shapes(batch_stats, variables["batch_stats"])
+    assert errs == [], "\n".join(errs[:20])
+
+
+@pytest.mark.slow
+def test_deeplab_forward_shapes(deeplab_init):
+    model, variables = deeplab_init
+    out = model.apply(variables, jnp.zeros((1, 33, 41, 3)))
+    assert out["out"].shape == (1, 33, 41, 40)
+    assert np.isfinite(np.asarray(out["out"])).all()
+
+
+def test_strip_lightning_prefix():
+    sd = {"_model._model.backbone.conv1.weight": 1,
+          "_model._model.aux_classifier.0.weight": 2}
+    out = strip_lightning_prefix(sd)
+    assert out == {"backbone.conv1.weight": 1}
+
+
+def test_conv_semantics_match_torch(rng):
+    """flax NHWC conv with converted OIHW weights == torch conv2d, including
+    stride, asymmetric input, padding and dilation."""
+    import torch
+    import torch.nn.functional as F
+    from flax import linen as nn
+
+    x = rng.normal(size=(1, 13, 17, 5)).astype(np.float32)
+    w = rng.normal(size=(7, 5, 3, 3)).astype(np.float32)  # OIHW
+    with jax.default_matmul_precision("float32"):
+        for stride, dil in [(1, 1), (2, 1), (1, 2), (1, 4)]:
+            pad = dil
+            ref = F.conv2d(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                           torch.from_numpy(w), stride=stride, padding=pad,
+                           dilation=dil).numpy().transpose(0, 2, 3, 1)
+            conv = nn.Conv(7, (3, 3), strides=(stride, stride),
+                           kernel_dilation=(dil, dil),
+                           padding=[(pad, pad)] * 2, use_bias=False)
+            out = conv.apply({"params": {"kernel": jnp.asarray(
+                w.transpose(2, 3, 1, 0))}}, jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                                       atol=1e-4)
+
+
+def test_batchnorm_eval_matches_torch(rng):
+    import torch
+    from flax import linen as nn
+
+    c = 6
+    x = rng.normal(size=(2, 5, 5, c)).astype(np.float32)
+    weight = rng.uniform(0.5, 1.5, c).astype(np.float32)
+    bias = rng.normal(size=c).astype(np.float32)
+    mean = rng.normal(size=c).astype(np.float32)
+    var = rng.uniform(0.5, 1.5, c).astype(np.float32)
+
+    tbn = torch.nn.BatchNorm2d(c, eps=1e-5, momentum=0.1)
+    tbn.weight.data = torch.from_numpy(weight)
+    tbn.bias.data = torch.from_numpy(bias)
+    tbn.running_mean.data = torch.from_numpy(mean)
+    tbn.running_var.data = torch.from_numpy(var)
+    tbn.eval()
+    ref = tbn(torch.from_numpy(x.transpose(0, 3, 1, 2))
+              ).detach().numpy().transpose(0, 2, 3, 1)
+
+    fbn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, use_running_average=True)
+    out = fbn.apply({"params": {"scale": jnp.asarray(weight),
+                                "bias": jnp.asarray(bias)},
+                     "batch_stats": {"mean": jnp.asarray(mean),
+                                     "var": jnp.asarray(var)}}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bilinear_resize_matches_torch(rng):
+    """jax.image.resize 'bilinear' == torch interpolate align_corners=False."""
+    import torch
+    import torch.nn.functional as F
+
+    from ucsa_neural_rendering_tpu.models.deeplabv3 import resize_bilinear
+
+    x = rng.normal(size=(1, 5, 7, 3)).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                        size=(19, 23), mode="bilinear",
+                        align_corners=False).numpy().transpose(0, 2, 3, 1)
+    out = resize_bilinear(jnp.asarray(x), (19, 23))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,134 @@
+"""End-to-end joint-training stage on the synthetic fixture: NeRF fit →
+joint steps → predict dumps → checkpoint chaining (multi-step driver)."""
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from ucsa_neural_rendering_tpu.data.synthetic import write_synthetic_scene_dir
+from ucsa_neural_rendering_tpu.models import SemanticNeRF
+from ucsa_neural_rendering_tpu.ops.renderer import RenderConfig
+from ucsa_neural_rendering_tpu.train import cl_driver, joint_loop
+
+H, W = 24, 32
+NUM_CLASSES = 40
+
+
+class TinySeg(nn.Module):
+    """Small stand-in for DeepLabV3 with the same interface (out dict, BN
+    batch_stats, use_running_average/deterministic flags)."""
+    num_classes: int = NUM_CLASSES
+
+    @nn.compact
+    def __call__(self, x, use_running_average=True, deterministic=True):
+        h = nn.Conv(16, (3, 3), padding="SAME")(x)
+        h = nn.BatchNorm(use_running_average=use_running_average,
+                         momentum=0.9)(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.num_classes, (1, 1))(h)
+        return {"out": h}
+
+
+@pytest.fixture(scope="module")
+def fixture_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cl_env")
+    scannet = str(root / "scans")
+    for scene in ("scene0000_00", "scene0001_00"):
+        write_synthetic_scene_dir(scannet, scene, n_frames=5, H=H, W=W)
+    env = {"results": str(root / "experiments"), "scannet": scannet,
+           "scannet_frames_25k": str(root / "frames25k")}
+    os.makedirs(env["scannet_frames_25k"], exist_ok=True)
+    return env
+
+
+def make_exp():
+    return {
+        "general": {"name": "joint_test", "clean_up_folder_if_exists": True,
+                    "checkpoint_load": None},
+        "model": {"num_classes": NUM_CLASSES},
+        "lr_scheduler": {"active": False},
+        "optimizer": {"lr_seg": 1e-4, "lr_nerf": 1e-2, "name": "Adam"},
+        "trainer": {"max_epochs": 1, "resume_from_checkpoint": False,
+                    "load_from_checkpoint": False},
+        "data_module": {"batch_size": 2, "shuffle": True, "num_workers": 0,
+                        "drop_last": True,
+                        "data_preprocessing": {"split_file": "split.npz",
+                                               "split_file_cl":
+                                                   "split_cl.npz"}},
+        "visualizer": {"store": False, "store_n": {"train": 0, "val": 0,
+                                                   "test": 0}},
+        "scenes": ["scene0000_00"],
+        "cl": {"active": False, "use_novel_viewpoints": False,
+               "replay_buffer_size": 0},
+        "output_size": (H, W),
+    }
+
+
+def small_trainer_kwargs():
+    return {
+        "nerf_model": SemanticNeRF(bound=1.0,
+                                   num_semantic_classes=NUM_CLASSES,
+                                   n_levels=4, log2_hashmap_size=12),
+        "seg_model": TinySeg(),
+        "n_rays": 256,
+    }
+
+
+RENDER_CFG = RenderConfig(num_steps=24, upsample_steps=24, max_ray_batch=H * W)
+
+
+@pytest.mark.slow
+def test_joint_stage_end_to_end(fixture_env):
+    exp = make_exp()
+    args = argparse.Namespace(exp_name="e2e_joint", seed=0, fix_nerf=False,
+                              nerf_train_epoch=1, joint_train_epoch=1,
+                              project_name="t")
+    nerf_state, seg_state = joint_loop.train(
+        exp, fixture_env, args, render_cfg=RENDER_CFG,
+        val_scene_list=["scene0000_00"],
+        trainer_kwargs=small_trainer_kwargs())
+
+    model_path = os.path.join(fixture_env["results"], "joint_test")
+    assert os.path.isdir(os.path.join(model_path, "deeplab_ckpt"))
+    # predict dumps for the scene (4 train frames → 4 PNGs per folder)
+    scene_exp = os.path.join(fixture_env["scannet"], "scene0000_00",
+                             "e2e_joint")
+    for sub in ("nerf_image", "nerf_label", "seg_label"):
+        files = os.listdir(os.path.join(scene_exp, sub))
+        assert len(files) == 5  # predict mode uses all frames
+    # rendered labels must be in 1..40 storage convention
+    import cv2
+    lab = cv2.imread(os.path.join(scene_exp, "nerf_label",
+                                  sorted(os.listdir(os.path.join(
+                                      scene_exp, "nerf_label")))[0]),
+                     cv2.IMREAD_UNCHANGED)
+    assert lab.min() >= 1 and lab.max() <= NUM_CLASSES
+
+
+@pytest.mark.slow
+def test_multi_step_driver_chains_checkpoints(fixture_env):
+    exp = make_exp()
+    exp["cl"] = {"active": False, "use_novel_viewpoints": False,
+                 "replay_buffer_size": 4}
+    args = argparse.Namespace(exp_name="e2e_cl", seed=0, fix_nerf=False,
+                              nerf_train_epoch=1, joint_train_epoch=1,
+                              project_name="t")
+    # stage 0 loads nothing (no pretrained ckpt in fixture)
+    exp["general"]["checkpoint_load"] = None
+    exp["trainer"]["load_from_checkpoint"] = False
+
+    results = cl_driver.main(
+        exp, fixture_env, args, scene_order=["scene0000_00", "scene0001_00"],
+        render_cfg=RENDER_CFG, val_scene_list=["scene0000_00"],
+        trainer_kwargs=small_trainer_kwargs())
+    assert len(results) == 2
+    for stage in ("stage_0", "stage_1"):
+        assert os.path.isdir(os.path.join(fixture_env["results"], "e2e_cl",
+                                          stage, "deeplab_ckpt"))
+    # stage_1 consumed stage_0's checkpoint (load_from_checkpoint was set)
+    assert exp["general"]["checkpoint_load"].endswith(
+        os.path.join("stage_0", "deeplab_ckpt"))

@@ -1,0 +1,101 @@
+"""Pretrain / finetune loop e2e tests on synthetic fixtures (tiny seg model)."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+from ucsa_neural_rendering_tpu.data import create_split, save_split
+from ucsa_neural_rendering_tpu.data.synthetic import (
+    write_synthetic_25k_dir, write_synthetic_scene_dir)
+from ucsa_neural_rendering_tpu.train import finetune_loop, pretrain_loop
+
+from test_joint_e2e import TinySeg
+
+H, W = 24, 32
+
+
+@pytest.fixture(scope="module")
+def env25k(tmp_path_factory):
+    root = tmp_path_factory.mktemp("env25k")
+    frames_dir = str(root / "frames25k")
+    os.makedirs(frames_dir)
+    write_synthetic_25k_dir(frames_dir, n_scenes=2, n_frames_per_scene=4,
+                            H=2 * H, W=2 * W)
+    split = create_split(frames_dir, val_ratio=0.25, seed=0)
+    save_split(split, os.path.join(frames_dir, "split.npz"))
+    save_split({"train_cl": split["train_cl"]},
+               os.path.join(frames_dir, "split_cl.npz"))
+    return {"results": str(root / "experiments"), "scannet": str(root / "scans"),
+            "scannet_frames_25k": frames_dir}
+
+
+@pytest.mark.slow
+def test_pretrain_loop(env25k):
+    exp = {
+        "general": {"name": "pretrain_test",
+                    "clean_up_folder_if_exists": True},
+        "model": {"num_classes": 40},
+        "lr_scheduler": {"active": True, "name": "POLY",
+                         "poly_cfg": {"power": 0.9, "max_epochs": 2,
+                                      "target_lr": 1e-6}},
+        "optimizer": {"lr": 1e-3, "name": "Adam"},
+        "trainer": {"max_epochs": 2, "resume_from_checkpoint": False},
+        "data_module": {"batch_size": 3, "shuffle": True, "drop_last": False,
+                        "root": env25k["scannet_frames_25k"],
+                        "data_preprocessing": {"split_file": "split.npz"}},
+        "output_size": (H, W),
+    }
+    args = argparse.Namespace(seed=0, project_name="t")
+    state, best_miou = pretrain_loop.train(exp, env25k, args,
+                                           model=TinySeg())
+    model_path = os.path.join(env25k["results"], "pretrain_test")
+    assert os.path.isdir(os.path.join(model_path, "best_ckpt"))
+    assert os.path.isdir(os.path.join(model_path, "last_ckpt"))
+    assert np.isfinite(best_miou)
+    # metrics were logged
+    assert os.path.isfile(os.path.join(model_path, "metrics.jsonl"))
+
+
+@pytest.mark.slow
+def test_finetune_loop_on_renders(env25k, tmp_path):
+    # build a scene with fake "nerf renders" = gt copies under prev_exp_name
+    scannet = env25k["scannet"]
+    scene_root = write_synthetic_scene_dir(scannet, "scene0000_00",
+                                           n_frames=5, H=H, W=W)
+    import shutil
+    nerf_dir = os.path.join(scene_root, "one_step_nerf_only")
+    os.makedirs(os.path.join(nerf_dir, "nerf_image"), exist_ok=True)
+    os.makedirs(os.path.join(nerf_dir, "nerf_label"), exist_ok=True)
+    import cv2
+    for f in os.listdir(os.path.join(scene_root, "color_scaled")):
+        stem = f.split(".")[0]
+        img = cv2.imread(os.path.join(scene_root, "color_scaled", f))
+        cv2.imwrite(os.path.join(nerf_dir, "nerf_image", stem + ".png"), img)
+        shutil.copy(os.path.join(scene_root, "label_scaled", stem + ".png"),
+                    os.path.join(nerf_dir, "nerf_label", stem + ".png"))
+
+    exp = {
+        "general": {"name": "finetune_test",
+                    "clean_up_folder_if_exists": True,
+                    "checkpoint_load": None},
+        "model": {"num_classes": 40},
+        "lr_scheduler": {"active": False},
+        "optimizer": {"lr": 1e-3, "name": "Adam"},
+        "trainer": {"max_epochs": 1, "resume_from_checkpoint": False,
+                    "load_from_checkpoint": False},
+        "data_module": {"batch_size": 2, "shuffle": True, "drop_last": True,
+                        "train_image": "nerf", "train_label": "nerf",
+                        "data_preprocessing": {"split_file": "split.npz",
+                                               "split_file_cl":
+                                                   "split_cl.npz"}},
+        "scenes": ["scene0000_00"],
+        "cl": {"active": True, "25k_fraction": 1.0, "ngp_25k_ratio": 1,
+               "use_novel_viewpoints": False, "replay_buffer_size": 0},
+        "output_size": (H, W),
+    }
+    args = argparse.Namespace(seed=0, project_name="t")
+    state = finetune_loop.train(exp, env25k, args, model=TinySeg())
+    assert os.path.isdir(os.path.join(env25k["results"], "finetune_test",
+                                      "deeplab_ckpt"))

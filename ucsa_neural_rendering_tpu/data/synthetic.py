@@ -96,7 +96,8 @@ def write_synthetic_scene_dir(root: str, scene_name: str = "scene0000_00",
     import imageio.v2 as imageio
 
     scene_root = os.path.join(root, scene_name)
-    for sub in ("color_scaled", "label_40_scaled", "depth"):
+    for sub in ("color_scaled", "label_40_scaled", "label_scaled",
+                "mapping_label", "depth"):
         os.makedirs(os.path.join(scene_root, sub), exist_ok=True)
 
     frames, intrinsics = make_synthetic_scene(n_frames, H, W,
@@ -112,9 +113,10 @@ def write_synthetic_scene_dir(root: str, scene_name: str = "scene0000_00",
         name = str(k)
         imageio.imwrite(os.path.join(scene_root, "color_scaled", name + ".jpg"),
                         (fr["image"] * 255).astype(np.uint8), quality=98)
-        imageio.imwrite(
-            os.path.join(scene_root, "label_40_scaled", name + ".png"),
-            (fr["label"] + 1).astype(np.uint8))
+        for label_dir in ("label_40_scaled", "label_scaled", "mapping_label"):
+            imageio.imwrite(
+                os.path.join(scene_root, label_dir, name + ".png"),
+                (fr["label"] + 1).astype(np.uint8))
         imageio.imwrite(os.path.join(scene_root, "depth", name + ".png"),
                         (fr["depth"] * 1000).astype(np.uint16))
         # invert nerf_matrix_to_ngp: rows (1,2,0)→(0,1,2) means stored row r
@@ -135,3 +137,36 @@ def write_synthetic_scene_dir(root: str, scene_name: str = "scene0000_00",
     with open(os.path.join(scene_root, "transforms_train.json"), "w") as f:
         json.dump(meta, f, indent=2)
     return scene_root
+
+
+def write_synthetic_25k_dir(root: str, n_scenes: int = 2,
+                            n_frames_per_scene: int = 4, H: int = 48,
+                            W: int = 64):
+    """Emit a scannet_frames_25k-style tree for pretrain/replay tests:
+    <root>/scene####_00/color/N.jpg + label/N.png (uint8 FAST labels 0..40)
+    plus a minimal scannetv2-labels.combined.tsv for LabelLoaderAuto."""
+    import imageio.v2 as imageio
+    import pandas as pd
+
+    pd.DataFrame({
+        "id": list(range(1, 41)),
+        "nyu40id": list(range(1, 41)),
+        "raw_category": [f"c{i}" for i in range(1, 41)],
+    }).to_csv(os.path.join(root, "scannetv2-labels.combined.tsv"), sep="\t",
+              index=False)
+
+    paths = []
+    intr = np.array([0.75 * W, 0.75 * W, W / 2, H / 2], np.float32)
+    for s in range(n_scenes):
+        scene = f"scene{s:04d}_00"
+        os.makedirs(os.path.join(root, scene, "color"), exist_ok=True)
+        os.makedirs(os.path.join(root, scene, "label"), exist_ok=True)
+        for k in range(n_frames_per_scene):
+            pose = _orbit_pose(2 * np.pi * (k + s) / n_frames_per_scene, 0.4)
+            img, lab, _ = analytic_frame(pose, intr, H, W)
+            p = os.path.join(root, scene, "color", f"{k}.jpg")
+            imageio.imwrite(p, (img * 255).astype(np.uint8), quality=95)
+            imageio.imwrite(os.path.join(root, scene, "label", f"{k}.png"),
+                            (lab + 1).astype(np.uint8))
+            paths.append(p)
+    return paths

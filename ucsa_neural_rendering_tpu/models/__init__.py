@@ -2,5 +2,10 @@ from .activation import trunc_exp
 from .hash_encoding import HashGridEncoding
 from .sh_encoding import sh_encoding
 from .semantic_nerf import SemanticNeRF
+from .deeplabv3 import DeepLabV3
+from .resnet import ResNet101Backbone
 
-__all__ = ["trunc_exp", "HashGridEncoding", "sh_encoding", "SemanticNeRF"]
+__all__ = [
+    "trunc_exp", "HashGridEncoding", "sh_encoding", "SemanticNeRF",
+    "DeepLabV3", "ResNet101Backbone"
+]

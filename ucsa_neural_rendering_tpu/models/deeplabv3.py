@@ -1,0 +1,86 @@
+"""DeepLabV3 (ResNet-101, output stride 8) segmentation model in Flax.
+
+Equivalent of the reference's torchvision wrapper
+(ref: nr4seg/network/deeplabv3.py:6-19 →
+torchvision.models.segmentation.deeplabv3_resnet101 with num_classes=40 and
+the aux head dropped — the reference strips `aux_classifier` keys on load,
+ref: scripts/train_joint.py:113-132). NHWC layout, bilinear upsample with
+half-pixel centers (torch `align_corners=False`).
+
+Module names mirror the torch state_dict (aspp_conv0..4, aspp_project,
+head_conv/head_bn, classifier) for the weight converter.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .resnet import BN, ResNet101Backbone
+
+
+class ASPP(nn.Module):
+    """Atrous Spatial Pyramid Pooling, rates (12, 24, 36) at output stride 8."""
+    out_channels: int = 256
+    atrous_rates: tuple = (12, 24, 36)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True,
+                 deterministic: bool = True):
+        bn = partial(BN, use_running_average=use_running_average,
+                     dtype=self.dtype)
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        branches = []
+        # 1x1 branch
+        h = conv(self.out_channels, (1, 1), name="aspp_conv0")(x)
+        branches.append(nn.relu(bn(name="aspp_bn0")(h)))
+        # atrous branches
+        for bi, rate in enumerate(self.atrous_rates, start=1):
+            h = conv(self.out_channels, (3, 3), kernel_dilation=(rate, rate),
+                     padding=[(rate, rate)] * 2, name=f"aspp_conv{bi}")(x)
+            branches.append(nn.relu(bn(name=f"aspp_bn{bi}")(h)))
+        # image-pooling branch: global mean → 1x1 conv → broadcast back
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        h = conv(self.out_channels, (1, 1), name="aspp_conv4")(pooled)
+        h = nn.relu(bn(name="aspp_bn4")(h))
+        h = jnp.broadcast_to(h, x.shape[:3] + (self.out_channels,))
+        branches.append(h)
+
+        h = jnp.concatenate(branches, axis=-1)
+        h = conv(self.out_channels, (1, 1), name="aspp_project")(h)
+        h = nn.relu(bn(name="aspp_project_bn")(h))
+        h = nn.Dropout(0.5, deterministic=deterministic)(h)
+        return h
+
+
+def resize_bilinear(x, out_hw):
+    """Bilinear resize with half-pixel centers (torch align_corners=False)."""
+    return jax.image.resize(x, (x.shape[0], out_hw[0], out_hw[1], x.shape[3]),
+                            method="bilinear")
+
+
+class DeepLabV3(nn.Module):
+    num_classes: int = 40
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True,
+                 deterministic: bool = True):
+        """x: [B, H, W, 3] in [0, 1] (the reference feeds unnormalized 0-1
+        images). Returns {"out": logits [B, H, W, num_classes]}."""
+        in_hw = x.shape[1:3]
+        feats = ResNet101Backbone(dtype=self.dtype, name="backbone")(
+            x, use_running_average)
+        h = ASPP(dtype=self.dtype, name="aspp")(feats, use_running_average,
+                                                deterministic)
+        h = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                    dtype=self.dtype, name="head_conv")(h)
+        h = BN(use_running_average=use_running_average, dtype=self.dtype,
+               name="head_bn")(h)
+        h = nn.relu(h)
+        logits = nn.Conv(self.num_classes, (1, 1), use_bias=True,
+                         dtype=self.dtype, name="classifier")(h)
+        logits = resize_bilinear(logits.astype(jnp.float32), in_hw)
+        return {"out": logits}

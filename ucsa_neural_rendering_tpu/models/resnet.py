@@ -1,0 +1,96 @@
+"""ResNet-101 backbone with deeplab-style dilation, in Flax (NHWC).
+
+Equivalent of the torchvision `resnet101` backbone used by the reference's
+DeepLabV3 wrapper (ref: nr4seg/network/deeplabv3.py:10-16), with
+`replace_stride_with_dilation=[False, True, True]` (output stride 8) exactly
+as `torchvision.models.segmentation.deeplabv3_resnet101` configures it:
+  * layer3: stride 2 → dilation 2 (first block conv2 keeps dilation 1)
+  * layer4: stride 2 → dilation 4 (first block conv2 uses dilation 2)
+Module names mirror the torch state_dict keys (conv1/bn1, layerL_B with
+conv1..3, bn1..3, downsample_conv/bn) so the weight converter is a pure
+rename + transpose.
+
+BatchNorm semantics match torch: momentum 0.1 (flax momentum=0.9),
+eps 1e-5; `use_running_average=False` updates `batch_stats` (torch .train()),
+True freezes them (.eval()) — this split is what lets the joint trainer
+reproduce the reference's BN-only-train trick
+(ref: joint_train_lightning_net.py:373-379).
+"""
+
+from functools import partial
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# layer name → (num_blocks, planes, stride, dilation_first, dilation_rest)
+RESNET101_LAYOUT = (
+    ("layer1", 3, 64, 1, 1, 1),
+    ("layer2", 4, 128, 2, 1, 1),
+    ("layer3", 23, 256, 1, 1, 2),
+    ("layer4", 3, 512, 1, 2, 4),
+)
+
+BN = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        bn = partial(BN, use_running_average=use_running_average,
+                     dtype=self.dtype)
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        identity = x
+        out = conv(self.planes, (1, 1), name="conv1")(x)
+        out = bn(name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                   kernel_dilation=(self.dilation, self.dilation),
+                   padding=[(self.dilation,) * 2] * 2, name="conv2")(out)
+        out = bn(name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.planes * 4, (1, 1), name="conv3")(out)
+        out = bn(name="bn3")(out)
+        if self.has_downsample:
+            identity = conv(self.planes * 4, (1, 1),
+                            strides=(self.stride, self.stride),
+                            name="downsample_conv")(x)
+            identity = bn(name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet101Backbone(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = True):
+        """x: [B, H, W, 3] → features [B, H/8, W/8, 2048]."""
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        x = conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                 name="conv1")(x)
+        x = BN(use_running_average=use_running_average, dtype=self.dtype,
+               name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)])
+        in_planes = 64
+        for lname, blocks, planes, stride, dil_first, dil_rest in \
+                RESNET101_LAYOUT:
+            for b in range(blocks):
+                first = b == 0
+                x = Bottleneck(
+                    planes=planes,
+                    stride=stride if first else 1,
+                    dilation=dil_first if first else dil_rest,
+                    has_downsample=first and (stride != 1
+                                              or in_planes != planes * 4),
+                    dtype=self.dtype,
+                    name=f"{lname}_{b}",
+                )(x, use_running_average)
+            in_planes = planes * 4
+        return x

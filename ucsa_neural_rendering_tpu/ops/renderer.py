@@ -42,6 +42,11 @@ class RenderConfig:
     min_near: float = 0.2
     weight_mask_threshold: float = 1e-4
     max_ray_batch: int = 4096
+    # rematerialize the MLP/hash-encoding evaluations in the backward pass:
+    # the per-sample gather indices + trilinear weights of the hash encoding
+    # (~GBs at 4096x512 samples) are recomputed instead of stored, trading
+    # ~1 extra density evaluation for fitting the step in HBM.
+    remat: bool = True
 
 
 def _clip_to_aabb(xyz, aabb):
@@ -67,9 +72,23 @@ def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
                      jnp.float32)
     n_rays = rays_o.shape[0]
 
-    density_fn = lambda pts: model.apply(variables, pts, method="density")
-    color_fn = lambda d, g: model.apply(variables, d, g, method="color")
-    semantics_fn = lambda g: model.apply(variables, g, method="semantics")
+    def _density(v, pts):
+        return model.apply(v, pts, method="density")
+
+    def _color(v, d, g):
+        return model.apply(v, d, g, method="color")
+
+    def _semantics(v, g):
+        return model.apply(v, g, method="semantics")
+
+    if cfg.remat:
+        _density = jax.checkpoint(_density)
+        _color = jax.checkpoint(_color)
+        _semantics = jax.checkpoint(_semantics)
+
+    density_fn = lambda pts: _density(variables, pts)
+    color_fn = lambda d, g: _color(variables, d, g)
+    semantics_fn = lambda g: _semantics(variables, g)
 
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
 

@@ -1,0 +1,47 @@
+"""Checkpoint save/load: orbax for native trees, torch-ckpt ingestion.
+
+Replaces the reference's Lightning ModelCheckpoint + manual torch.save
+chaining (ref: scripts/pretrain.py:70-78, scripts/train_joint.py:183-186,
+scripts/cl_deeplab.py:76-86): each continual-learning stage saves the
+segmentation params as `deeplab_ckpt/` and the next stage loads it; the
+initial stage may instead load a torchvision/Lightning .ckpt through the
+weight converter (checkpoint surgery included). All trees are saved with
+orbax StandardCheckpointer (resumable, async-capable).
+"""
+
+import os
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_tree(path: str, tree):
+    """Save a pytree of arrays at `path` (a directory)."""
+    ckpt = ocp.StandardCheckpointer()
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    ckpt.save(path, jax.tree.map(np.asarray, tree))
+    ckpt.wait_until_finished()
+
+
+def load_tree(path: str):
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(os.path.abspath(path))
+
+
+def save_deeplab(path: str, params, batch_stats):
+    """Stage-chaining seg checkpoint (the reference's `deeplab.ckpt`)."""
+    save_tree(path, {"params": params, "batch_stats": batch_stats})
+
+
+def load_deeplab(path: str):
+    """Load seg weights from either an orbax dir (ours) or a torch .ckpt/.pth
+    (reference pretrained checkpoint, with aux-head surgery)."""
+    if os.path.isdir(path):
+        tree = load_tree(path)
+        return tree["params"], tree["batch_stats"]
+    from ..models.torch_converter import convert_deeplab_checkpoint
+    return convert_deeplab_checkpoint(path)

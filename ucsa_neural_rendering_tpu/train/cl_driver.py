@@ -1,0 +1,53 @@
+"""Multi-step continual-learning driver over a scene sequence.
+
+Equivalent of the reference's cl_deeplab protocol
+(ref: scripts/cl_deeplab.py:11-91): iterate SCENE_ORDER, growing
+exp["scenes"]; stage 0 loads the pretrained seg checkpoint, stage i>0 chains
+from stage i−1's saved seg weights; the NeRF is re-initialized per scene
+(only the seg model and the rendered replay PNGs persist across stages).
+"""
+
+import os
+
+from . import joint_loop
+
+SCENE_ORDER = [f"scene{i:04d}_00" for i in range(10)]
+
+
+def main(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
+         scene_order=None, render_cfg=None, val_scene_list=None,
+         trainer_kwargs=None):
+    scene_order = scene_order or SCENE_ORDER
+    exp_name = args.exp_name
+    exp["exp_name"] = exp_name
+    exp["scenes"] = []
+    base_general_name = exp_name
+
+    prev_stage = ""
+    stage = "init"
+    results = []
+    for i, new_scene in enumerate(scene_order):
+        exp["scenes"].append(new_scene)
+        prev_stage = stage
+        stage = f"stage_{i}"
+        exp["general"]["name"] = f"{base_general_name}/{stage}"
+
+        exp.setdefault("trainer", {})
+        exp["trainer"]["resume_from_checkpoint"] = False
+        exp["trainer"]["load_from_checkpoint"] = True
+        if i == 0:
+            exp["general"]["load_pretrain"] = True
+            old_model_path = exp["general"]["checkpoint_load"]
+        else:
+            exp["general"]["load_pretrain"] = False
+            old_model_path = os.path.join(env["results"], base_general_name,
+                                          prev_stage, "deeplab_ckpt")
+        exp["general"]["checkpoint_load"] = old_model_path
+
+        print(f"[cl_driver] training on: {new_scene} (stage {i})")
+        states = joint_loop.train(exp, env, args, exp_cfg_path, env_cfg_path,
+                                  render_cfg=render_cfg,
+                                  val_scene_list=val_scene_list,
+                                  trainer_kwargs=trainer_kwargs)
+        results.append(states)
+    return results

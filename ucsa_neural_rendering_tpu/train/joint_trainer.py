@@ -1,0 +1,274 @@
+"""Joint NeRF + segmentation training: the continual-adaptation core.
+
+TPU-native equivalent of the reference's `JointTrainLightningNet`
+(ref: nr4seg/lightning/joint_train_lightning_net.py):
+  * phase 1 `nerf_fit_step` (ref training_step_nerf :473-513): DeepLab
+    pseudo-labels (eval mode, no grad) supervise the NeRF; one Adam step per
+    image, 4096 random rays each, rgb/semantics/depth losses.
+  * phase 2 `joint_step` (ref training_step_joint :363-471): full-frame NeRF
+    render of the new-scene batch (no grad) → augmented rendered
+    pseudo-labels ⊕ old-scene replay renders ⊕ 25k replay → one seg Adam
+    step; plus the per-image NeRF updates (unless fix_nerf), with the
+    reference's BN trick (seg in eval mode but BN stats updating when
+    batch > 1, :373-379).
+  * `predict_images` (ref predict_step :714-782): full-frame rgb + label
+    renders for the replay buffer / finetune data, written host-side.
+
+The Lightning manual-optimization + AMP GradScaler machinery collapses into
+explicit jitted steps over (params, opt_state) pytrees driven by plain
+Python loops; randomness is threaded PRNG keys; augmentation of rendered
+images runs ON DEVICE inside the jit (the reference does it with
+torchvision transforms on GPU tensors mid-step).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.augmentation import augment
+from ..data.rays import get_rays, get_rays_sampled
+from ..models.deeplabv3 import DeepLabV3
+from ..models.semantic_nerf import SemanticNeRF
+from ..ops.renderer import (RenderConfig, normalize_semantics, render_rays,
+                            render_rays_staged)
+from .nerf_trainer import make_nerf_optimizer, nerf_losses
+from .seg_trainer import cross_entropy_ignore, make_seg_optimizer
+
+
+class JointTrainer:
+    """Owns both models and all jitted steps for one adaptation stage."""
+
+    def __init__(self, exp: dict, image_hw=(240, 320), num_classes=40,
+                 render_cfg: RenderConfig | None = None, n_rays=4096,
+                 nerf_model: SemanticNeRF | None = None,
+                 seg_model=None):
+        self.exp = exp
+        self.H, self.W = image_hw
+        self.num_classes = num_classes
+        self.n_rays = n_rays
+        self.fix_nerf = exp.get("fix_nerf", False)
+        self.cfg = render_cfg or RenderConfig()
+
+        # bound=4 and the hash/MLP geometry follow the reference's joint net
+        # (ref :29-35); overridable for tests / other scene scales.
+        self.nerf_model = nerf_model or SemanticNeRF(
+            bound=4.0, num_semantic_classes=num_classes)
+        self.seg_model = seg_model or DeepLabV3(num_classes=num_classes)
+
+        opt = exp["optimizer"]
+        self.nerf_tx = make_nerf_optimizer(float(opt.get("lr_nerf", 1e-2)))
+        self.seg_tx = make_seg_optimizer(opt, lr_key="lr_seg")
+
+        self._seg_infer = jax.jit(self._seg_infer_impl,
+                                  static_argnames=("update_bn",))
+        self._nerf_update_image = jax.jit(self._nerf_update_image_impl,
+                                          donate_argnums=(0,))
+        self._render_frame = jax.jit(self._render_frame_impl)
+        self._seg_update = jax.jit(self._seg_update_impl,
+                                   donate_argnums=(0,))
+        self._augment_rendered = jax.jit(self._augment_rendered_impl)
+
+    # ------------------------------------------------------------------- init
+    def init_nerf(self, key):
+        x = jnp.zeros((8, 3))
+        d = jnp.zeros((8, 3)).at[:, 2].set(1.0)
+        params = self.nerf_model.init(key, x, d)["params"]
+        return params, self.nerf_tx.init(params)
+
+    def init_seg(self, key):
+        variables = self.seg_model.init(
+            key, jnp.zeros((1, self.H, self.W, 3)),
+            use_running_average=False)
+        params = variables["params"]
+        return params, variables["batch_stats"], self.seg_tx.init(params)
+
+    # --------------------------------------------------------------- seg fwd
+    def _seg_infer_impl(self, seg_params, seg_batch_stats, images,
+                        update_bn=False):
+        """forward_seg (ref :159-165). update_bn=True replicates the BN trick:
+        eval-mode forward that still updates running stats (ref :373-379)."""
+        variables = {"params": seg_params, "batch_stats": seg_batch_stats}
+        if update_bn:
+            out, mutated = self.seg_model.apply(
+                variables, images, use_running_average=False,
+                deterministic=True, mutable=["batch_stats"])
+            new_stats = mutated["batch_stats"]
+        else:
+            out = self.seg_model.apply(variables, images,
+                                       use_running_average=True,
+                                       deterministic=True)
+            new_stats = seg_batch_stats
+        probs = jax.nn.softmax(out["out"], axis=-1)
+        return jnp.argmax(probs, axis=-1), probs, new_stats
+
+    def seg_infer(self, seg_state, images, update_bn=False):
+        params, stats, opt = seg_state
+        pred, probs, new_stats = self._seg_infer(params, stats, images,
+                                                 update_bn=update_bn)
+        return pred, probs, (params, new_stats, opt)
+
+    # ------------------------------------------------------------ nerf update
+    def _nerf_update_image_impl(self, nerf_state, image, pseudo_label, depth,
+                                pose, intrinsics, one_m_to_scene_uom, key):
+        """One Adam step on one image's 4096-ray batch
+        (ref forward_nerf_train :167-223 + scaler step :509-513)."""
+        params, opt_state = nerf_state
+        k_rays, k_render = jax.random.split(key)
+        rays_o, rays_d, dnorms, inds = get_rays_sampled(
+            pose, intrinsics, self.H, self.W, k_rays, self.n_rays)
+        gt_rgb = image.reshape(-1, 3)[inds]
+        labels = pseudo_label.reshape(-1)[inds]
+        gt_depth = depth.reshape(-1)[inds]
+
+        def loss_fn(p):
+            out = render_rays(self.nerf_model, {"params": p}, rays_o, rays_d,
+                              dnorms, k_render, self.cfg)
+            return nerf_losses(out, gt_rgb, labels, gt_depth,
+                               one_m_to_scene_uom, self.num_classes)
+
+        (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.nerf_tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), parts
+
+    # ------------------------------------------------------------- rendering
+    def _render_frame_impl(self, nerf_params, pose, intrinsics):
+        """forward_nerf_test for one frame (ref :225-257): staged full-image
+        render + semantics renormalization + argmax."""
+        rays = get_rays(pose, intrinsics, self.H, self.W)
+        out = render_rays_staged(self.nerf_model, {"params": nerf_params},
+                                 rays["rays_o"], rays["rays_d"],
+                                 rays["direction_norms"], self.cfg)
+        sem, invalid = normalize_semantics(out["semantics"])
+        return {
+            "nerf_rgb": out["image"].reshape(self.H, self.W, 3),
+            "nerf_semantics": jnp.argmax(sem, -1).reshape(self.H, self.W),
+            "nerf_semantics_raw": sem.reshape(self.H, self.W, -1),
+            "nerf_depth": out["depth"].reshape(self.H, self.W),
+        }
+
+    def render_frames(self, nerf_params, poses, intrinsics):
+        """Render B frames sequentially (each internally chunked)."""
+        outs = [self._render_frame(nerf_params, poses[b], intrinsics)
+                for b in range(poses.shape[0])]
+        return {k: jnp.stack([o[k] for o in outs], 0) for k in outs[0]}
+
+    # ---------------------------------------------------------- augmentation
+    def _augment_rendered_impl(self, key, rgbs, labels):
+        """On-device data_aug of rendered pseudo-label images
+        (ref data_aug :259-302): jitter + rotate + crop + flip per image."""
+
+        def one(k, img, label):
+            aimg, alabels = augment(k, img,
+                                    [(label + 1).astype(jnp.float32)],
+                                    out_hw=(self.H, self.W))
+            return aimg, alabels[0].astype(jnp.int32) - 1
+
+        keys = jax.random.split(key, rgbs.shape[0])
+        return jax.vmap(one)(keys, rgbs, labels)
+
+    # ------------------------------------------------------------ seg update
+    def _seg_update_impl(self, seg_state, images, labels):
+        """One seg Adam step on assembled images/labels (ref :456-461)."""
+        params, batch_stats, opt_state = seg_state
+
+        def loss_fn(p):
+            out, mutated = self.seg_model.apply(
+                {"params": p, "batch_stats": batch_stats}, images,
+                use_running_average=False, deterministic=True,
+                mutable=["batch_stats"])
+            loss = cross_entropy_ignore(out["out"], labels)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = self.seg_tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, new_stats, opt_state), loss
+
+    # ============================================================== phases ==
+    def nerf_fit_step(self, nerf_state, seg_state, batch, key):
+        """Phase-1 step (ref training_step_nerf :473-513): seg pseudo-labels
+        (no BN update), then one NeRF Adam step per image.
+
+        batch: numpy/JAX dict with img [B,H,W,3], depth [B,H,W], pose [B,4,4],
+        intrinsics [B,4], one_m_to_scene_uom [B]. Returns (nerf_state, logs).
+        """
+        pseudo, _, _ = self.seg_infer(seg_state, batch["img"], update_bn=False)
+        logs = {}
+        b = batch["img"].shape[0]
+        for i in range(b):
+            key, k = jax.random.split(key)
+            nerf_state, parts = self._nerf_update_image(
+                nerf_state, batch["img"][i], pseudo[i], batch["depth"][i],
+                batch["pose"][i], batch["intrinsics"][i],
+                batch["one_m_to_scene_uom"][i], k)
+            logs = {k2: float(v) for k2, v in parts.items()}
+        return nerf_state, logs
+
+    def joint_step(self, nerf_state, seg_state, batch_old, batch_new,
+                   batch_cl, key):
+        """Phase-2 step (ref training_step_joint :363-471).
+
+        Returns (nerf_state, seg_state, logs).
+        """
+        logs = {}
+        rendered = None
+        if batch_new is not None:
+            rendered = self.render_frames(
+                nerf_state[0], jnp.asarray(batch_new["pose"]),
+                jnp.asarray(batch_new["intrinsics"][0]))
+
+            if not self.fix_nerf:
+                b = batch_new["img"].shape[0]
+                pseudo, _, seg_state = self.seg_infer(
+                    seg_state, jnp.asarray(batch_new["img"]),
+                    update_bn=b > 1)
+                for i in range(b):
+                    key, k = jax.random.split(key)
+                    nerf_state, parts = self._nerf_update_image(
+                        nerf_state, jnp.asarray(batch_new["img"][i]),
+                        pseudo[i], jnp.asarray(batch_new["depth"][i]),
+                        jnp.asarray(batch_new["pose"][i]),
+                        jnp.asarray(batch_new["intrinsics"][i]),
+                        jnp.asarray(batch_new["one_m_to_scene_uom"][i]), k)
+                logs.update({k2: float(v) for k2, v in parts.items()})
+
+        # ---- assemble seg batch (ref :419-454) ----
+        imgs, labels = [], []
+        if rendered is not None:
+            key, k = jax.random.split(key)
+            aug_rgb, aug_label = self._augment_rendered(
+                k, rendered["nerf_rgb"], rendered["nerf_semantics"])
+            imgs.append(aug_rgb)
+            labels.append(aug_label)
+        if batch_old is not None:
+            imgs.append(jnp.asarray(batch_old["img"]))
+            labels.append(jnp.asarray(batch_old["nerf_label"]))
+        if batch_cl is not None:
+            r_img = jnp.asarray(batch_cl["replay_img"])
+            r_lab = jnp.asarray(batch_cl["replay_label"])
+            imgs.append(r_img.reshape(-1, *r_img.shape[2:]))
+            labels.append(r_lab.reshape(-1, *r_lab.shape[2:]))
+
+        rgb_seg = jnp.concatenate(imgs, 0)
+        label_seg = jnp.concatenate(labels, 0)
+        seg_state, seg_loss = self._seg_update(seg_state, rgb_seg, label_seg)
+        logs["loss_seg"] = float(seg_loss)
+        return nerf_state, seg_state, logs
+
+    # ------------------------------------------------------------ prediction
+    def predict_frame(self, nerf_state, seg_state, pose, intrinsics,
+                      image=None):
+        """One predict item (ref predict_step :714-782): NeRF render + seg
+        forward (on the render itself for novel viewpoints). Returns device
+        dict; host IO belongs to the caller."""
+        out = self._render_frame(nerf_state[0], pose, intrinsics)
+        seg_input = (out["nerf_rgb"][None] if image is None
+                     else jnp.asarray(image)[None])
+        seg_pred, _, _ = self.seg_infer(seg_state, seg_input, update_bn=False)
+        out["seg_semantics"] = seg_pred[0]
+        return out

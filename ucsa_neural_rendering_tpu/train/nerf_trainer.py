@@ -85,14 +85,27 @@ class NeRFTrainer:
 
     def __init__(self, model: SemanticNeRF, render_cfg: RenderConfig = None,
                  lr: float = 1e-2, n_rays: int = 4096,
-                 image_hw: tuple[int, int] = (240, 320)):
+                 image_hw: tuple[int, int] = (240, 320), mesh=None):
+        """mesh: optional 1-D jax Mesh with a "data" axis — the ray batch is
+        sharded across it inside the jitted step (params replicated, XLA
+        inserts the gradient psum over ICI). This is the TPU-native scaling
+        story for NeRF fitting: the ray axis is the reference's only
+        intra-step parallel dimension (SURVEY.md §2.3)."""
         self.model = model
         self.cfg = render_cfg or RenderConfig()
         self.tx = make_nerf_optimizer(lr)
         self.n_rays = n_rays
         self.H, self.W = image_hw
+        self.mesh = mesh
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._render_image = jax.jit(self._render_image_impl)
+
+    def _shard_rays(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P("data"))
+        return tuple(jax.lax.with_sharding_constraint(a, sh) for a in arrays)
 
     def init(self, key: jax.Array):
         x = jnp.zeros((8, 3))
@@ -116,6 +129,8 @@ class NeRFTrainer:
         gt_rgb = batch["image"].reshape(-1, 3)[inds]
         labels = batch["label"].reshape(-1)[inds]
         gt_depth = batch["depth"].reshape(-1)[inds]
+        rays_o, rays_d, dnorms, gt_rgb, labels, gt_depth = self._shard_rays(
+            rays_o, rays_d, dnorms, gt_rgb, labels, gt_depth)
 
         def loss_fn(p):
             outputs = render_rays(self.model, {"params": p}, rays_o, rays_d,

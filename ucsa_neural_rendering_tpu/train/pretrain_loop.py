@@ -1,0 +1,147 @@
+"""DeepLabV3 pretraining loop on scannet_frames_25k.
+
+Equivalent of the reference's pretrain entry
+(ref: scripts/pretrain.py:17-114 + nr4seg/lightning/
+semantics_lightning_net.py + pretrain_data_module.py): train/val/test
+datasets from the shipped split.npz, POLY LR schedule per epoch, best
+checkpoint by val mean_IoU, resume support. Data parallelism runs over the
+jax mesh (params replicated, batch sharded) instead of Lightning DDP; the
+per-step metric all_gather becomes the device-side confusion matrix.
+"""
+
+import os
+
+import jax
+import numpy as np
+
+from ..data import DataLoader, ScanNet, load_split
+from ..metrics import SemanticsMeter
+from ..models import DeepLabV3
+from ..parallel import get_mesh, shard_batch
+from .checkpoints import load_deeplab, save_deeplab, save_tree, load_tree
+from .experiment import seed_everything, setup_experiment
+from .seg_trainer import SegTrainer, poly_lr_factor
+
+
+def _pad_to(batch, size):
+    """Pad (img, label) leading dim to `size` with ignore labels so shapes
+    stay static and mesh-divisible."""
+    img, label = batch
+    n = img.shape[0]
+    if n == size:
+        return img, label, n
+    pad = size - n
+    img = np.concatenate([img, np.zeros((pad, *img.shape[1:]), img.dtype)], 0)
+    label = np.concatenate(
+        [label, np.full((pad, *label.shape[1:]), -1, label.dtype)], 0)
+    return img, label, n
+
+
+def run_epoch(trainer, state, loader, batch_size, mesh, lr, meter, logger,
+              mode, train=True):
+    losses = []
+    # pad the batch to a mesh-divisible static size (ignore labels on pads)
+    n_mesh = mesh.devices.size if mesh is not None else 1
+    target = -(-batch_size // n_mesh) * n_mesh
+    for batch in loader:
+        img, label = batch[0], batch[1]
+        img, label, _ = _pad_to((img, label), target)
+        if mesh is not None:
+            img, label = shard_batch((img, label), mesh)
+        if train:
+            state, loss, conf = trainer.train_step(state, img, label, lr)
+            losses.append(float(loss))
+            meter.update_confmat(conf)
+        else:
+            preds, _ = trainer.eval_step(state[0], state[1], img)
+            meter.update(preds, label)
+    if losses and logger is not None:
+        logger.log({f"{mode}/loss": float(np.mean(losses))})
+    return state
+
+
+def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
+          model=None):
+    """Full pretraining run. Returns final (state, best_miou)."""
+    seed_everything(getattr(args, "seed", 123))
+    model_path, logger = setup_experiment(
+        exp, env, exp_cfg_path, env_cfg_path,
+        getattr(args, "project_name", "pretrain"))
+
+    cfg_dm = exp["data_module"]
+    split = load_split(os.path.join(cfg_dm["root"],
+                                    cfg_dm["data_preprocessing"]["split_file"]))
+    output_size = tuple(exp.get("output_size", (240, 320)))
+    mk = lambda key, mode: ScanNet(root=cfg_dm["root"], img_list=split[key],
+                                   mode=mode, output_size=output_size)
+    bs = cfg_dm["batch_size"]
+    train_dl = DataLoader(mk("train", "train"), batch_size=bs, shuffle=True,
+                          drop_last=cfg_dm.get("drop_last", False))
+    val_dl = DataLoader(mk("val", "val"), batch_size=bs)
+    test_dl = DataLoader(mk("test", "test"), batch_size=bs)
+
+    mesh = get_mesh() if jax.device_count() > 1 else None
+    model = model or DeepLabV3(num_classes=exp["model"]["num_classes"])
+    trainer = SegTrainer(model, exp["optimizer"], mesh=mesh)
+    state = trainer.init(jax.random.key(getattr(args, "seed", 123)),
+                         image_hw=output_size)
+
+    ckpt_load = exp["general"].get("checkpoint_load")
+    if exp.get("trainer", {}).get("load_from_checkpoint") and ckpt_load:
+        params, batch_stats = load_deeplab(ckpt_load)
+        state = (params, batch_stats, trainer.tx.init(params))
+
+    start_epoch = 0
+    resume_dir = os.path.join(model_path, "last_ckpt")
+    if exp.get("trainer", {}).get("resume_from_checkpoint") and \
+            os.path.isdir(resume_dir):
+        tree = load_tree(resume_dir)
+        state = (tree["params"], tree["batch_stats"],
+                 trainer.tx.init(tree["params"]))
+        start_epoch = int(tree.get("epoch", 0))
+
+    sched = exp.get("lr_scheduler", {})
+    max_epochs = exp["trainer"]["max_epochs"]
+    init_lr = float(exp["optimizer"]["lr"])
+    best_miou = -1.0
+    meters = {m: SemanticsMeter(exp["model"]["num_classes"])
+              for m in ("train", "val", "test")}
+
+    for epoch in range(start_epoch, max_epochs):
+        if sched.get("active") and sched.get("name") == "POLY":
+            p = sched["poly_cfg"]
+            lr = poly_lr_factor(epoch, p["max_epochs"], p["power"], init_lr,
+                                float(p["target_lr"]))
+        else:
+            lr = init_lr
+
+        meters["train"].clear()
+        state = run_epoch(trainer, state, train_dl, bs, mesh, lr,
+                          meters["train"], logger, "train", train=True)
+        miou, tacc, macc = meters["train"].measure()
+        logger.log({"train/mean_IoU": miou, "train/total_accuracy": tacc,
+                    "train/mean_accuracy": macc, "lr": lr}, step=epoch)
+
+        meters["val"].clear()
+        run_epoch(trainer, state, val_dl, bs, mesh, lr, meters["val"], None,
+                  "val", train=False)
+        miou, tacc, macc = meters["val"].measure()
+        logger.log({"val/mean_IoU": miou, "val/total_accuracy": tacc,
+                    "val/mean_accuracy": macc}, step=epoch)
+
+        # checkpointing: best on val mean_IoU + last (ref pretrain.py:70-78)
+        if miou > best_miou:
+            best_miou = miou
+            save_deeplab(os.path.join(model_path, "best_ckpt"), state[0],
+                         state[1])
+        save_tree(resume_dir, {"params": state[0], "batch_stats": state[1],
+                               "epoch": epoch + 1})
+
+    meters["test"].clear()
+    run_epoch(trainer, state, test_dl, bs, mesh, init_lr, meters["test"],
+              None, "test", train=False)
+    miou, tacc, macc = meters["test"].measure()
+    logger.log({"test/mean_IoU": miou, "test/total_accuracy": tacc,
+                "test/mean_accuracy": macc})
+    logger.close()
+    return state, best_miou

@@ -1,0 +1,163 @@
+"""DeepLabV3 segmentation training: jitted, data-parallel over the mesh.
+
+TPU-native equivalent of the reference's `SemanticsLightningNet` +
+Lightning-DDP pretraining (ref: nr4seg/lightning/semantics_lightning_net.py,
+scripts/pretrain.py:103-112):
+  * loss: softmax cross-entropy with ignore_index -1. NOTE the reference
+    quirk: it calls F.cross_entropy on SOFTMAX PROBABILITIES, not logits
+    (semantics_lightning_net.py:74-80) — i.e. log_softmax(softmax(logits)).
+    We apply CE to logits (the mathematically intended objective); the
+    reference's double-softmax only rescales gradients and its released
+    checkpoints were trained that way, so `double_softmax=True` reproduces
+    it exactly when parity matters.
+  * optimizers: Adam/SGD/Adadelta/RMSprop selected by config, POLY LambdaLR
+    epoch schedule (semantics_lightning_net.py:155-195).
+  * DP: instead of 1-process-per-GPU DDP with NCCL all-reduce, the batch is
+    sharded over the mesh `data` axis with params replicated; XLA inserts the
+    gradient all-reduce over ICI. The metric all_gather of pixel tensors
+    becomes a device-side confusion matrix that is summed on host — only
+    40x40 ints ever leave the device.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..metrics.meter import confusion_matrix_update
+from ..models.deeplabv3 import DeepLabV3
+
+
+def cross_entropy_ignore(logits, labels, double_softmax=False):
+    """Mean softmax CE over pixels with label >= 0; -1 ignored.
+
+    `double_softmax=True` replicates the reference's probabilities-into-
+    F.cross_entropy quirk for strict behavioural parity.
+    """
+    num_classes = logits.shape[-1]
+    if double_softmax:
+        logits = jax.nn.softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    valid = labels >= 0
+    picked = jnp.take_along_axis(
+        logp, jnp.clip(labels, 0, num_classes - 1)[..., None], axis=-1)[..., 0]
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(jnp.where(valid, -picked, 0.0)) / n_valid
+
+
+def make_seg_optimizer(cfg_optimizer: dict, lr_key: str = "lr"):
+    """Reference-compatible optimizer factory
+    (ref: semantics_lightning_net.py:155-173). Returns an optax transform
+    whose learning rate is scaled by a mutable schedule factor passed via
+    optax.inject_hyperparams."""
+    name = cfg_optimizer.get("name", "Adam")
+    lr = float(cfg_optimizer[lr_key])
+    if name == "Adam":
+        make = lambda learning_rate: optax.adam(learning_rate)
+    elif name == "SGD":
+        sgd = cfg_optimizer.get("sgd_cfg", {})
+        make = lambda learning_rate: optax.chain(
+            optax.add_decayed_weights(float(sgd.get("weight_decay", 0.0))),
+            optax.sgd(learning_rate, momentum=float(sgd.get("momentum", 0.9))),
+        )
+    elif name == "Adadelta":
+        make = lambda learning_rate: optax.adadelta(learning_rate)
+    elif name == "RMSprop":
+        make = lambda learning_rate: optax.rmsprop(learning_rate, momentum=0.9)
+    else:
+        raise ValueError(f"unknown optimizer {name}")
+    return optax.inject_hyperparams(make)(learning_rate=lr)
+
+
+def poly_lr_factor(epoch: int, max_epochs: int, power: float,
+                   init_lr: float, target_lr: float) -> float:
+    """POLY schedule, epoch-granular (ref: semantics_lightning_net.py:181-185):
+    lr(e) = init * [frac^p + (1 - frac^p) * target/init],
+    frac = (max_e - min(max_e, e)) / max_e."""
+    frac = (max_epochs - min(max_epochs, epoch)) / max_epochs
+    return init_lr * (frac ** power + (1 - frac ** power) * target_lr / init_lr)
+
+
+class SegTrainer:
+    """Jitted train/eval steps for DeepLabV3, sharded over a 1-D mesh."""
+
+    def __init__(self, model: DeepLabV3, cfg_optimizer: dict,
+                 mesh=None, lr_key: str = "lr", double_softmax: bool = False):
+        self.model = model
+        self.tx = make_seg_optimizer(cfg_optimizer, lr_key)
+        self.mesh = mesh
+        self.double_softmax = double_softmax
+
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            self._train_step = jax.jit(
+                self._train_step_impl,
+                in_shardings=((repl, repl, repl), (data, data), repl),
+                out_shardings=((repl, repl, repl), repl, repl),
+                donate_argnums=(0,))
+            self._eval_step = jax.jit(
+                self._eval_step_impl,
+                in_shardings=((repl, repl), data),
+                out_shardings=(data, repl))
+        else:
+            self._train_step = jax.jit(self._train_step_impl,
+                                       donate_argnums=(0,))
+            self._eval_step = jax.jit(self._eval_step_impl)
+        self._infer = jax.jit(self._infer_impl)
+
+    def init(self, key, image_hw=(240, 320)):
+        x = jnp.zeros((1, *image_hw, 3))
+        variables = self.model.init(key, x, use_running_average=False,
+                                    deterministic=True)
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+        return (params, batch_stats, self.tx.init(params))
+
+    # --- jitted impls ---
+    def _train_step_impl(self, state, batch, lr):
+        params, batch_stats, opt_state = state
+        images, labels = batch
+
+        def loss_fn(p):
+            out, mutated = self.model.apply(
+                {"params": p, "batch_stats": batch_stats}, images,
+                use_running_average=False, deterministic=True,
+                mutable=["batch_stats"])
+            loss = cross_entropy_ignore(out["out"], labels,
+                                        self.double_softmax)
+            return loss, (mutated["batch_stats"], out["out"])
+
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        preds = jnp.argmax(logits, axis=-1)
+        conf = confusion_matrix_update(preds, labels, self.model.num_classes)
+        return (params, new_stats, opt_state), loss, conf
+
+    def _eval_step_impl(self, state, images):
+        params, batch_stats = state
+        out = self.model.apply({"params": params, "batch_stats": batch_stats},
+                               images, use_running_average=True,
+                               deterministic=True)
+        probs = jax.nn.softmax(out["out"], axis=-1)
+        return jnp.argmax(probs, axis=-1), out["out"]
+
+    def _infer_impl(self, state, images):
+        return self._eval_step_impl(state, images)
+
+    # --- public API ---
+    def train_step(self, state, images, labels, lr):
+        """state=(params, batch_stats, opt_state); images [B,H,W,3] in [0,1];
+        labels [B,H,W] int32 (-1 ignore); lr scalar (POLY schedule applied by
+        the caller per epoch). Returns (state, loss, confusion_matrix)."""
+        return self._train_step(state, (images, labels), jnp.float32(lr))
+
+    def eval_step(self, params, batch_stats, images):
+        """Returns (argmax preds [B,H,W], logits)."""
+        return self._eval_step((params, batch_stats), images)
