@@ -35,7 +35,7 @@ def test_hash_encoding_interpolation_exact_on_vertices(rng):
     table = jnp.asarray(rng.normal(size=(spec.table_size, 2)).astype(np.float32))
     # vertex (1,2,3) of a 4-cell grid (5 vertices/axis)
     x = jnp.array([[1 / 4, 2 / 4, 3 / 4]])
-    out = hash_encode(table, x, spec)
+    out = hash_encode(table, x, spec, compute_dtype=jnp.float32)
     stride = 5
     idx = (3 * stride + 2) * stride + 1
     np.testing.assert_allclose(np.asarray(out)[0], np.asarray(table)[idx],
@@ -46,9 +46,10 @@ def test_hash_encoding_linear_along_axis(rng):
     """Between two vertices the encoding interpolates linearly."""
     spec = make_spec(n_levels=1, base_resolution=2, per_level_scale=1.0)
     table = jnp.asarray(rng.normal(size=(spec.table_size, 2)).astype(np.float32))
-    a = hash_encode(table, jnp.array([[0.0, 0.0, 0.0]]), spec)
-    b = hash_encode(table, jnp.array([[0.5, 0.0, 0.0]]), spec)
-    mid = hash_encode(table, jnp.array([[0.25, 0.0, 0.0]]), spec)
+    f32 = dict(compute_dtype=jnp.float32)
+    a = hash_encode(table, jnp.array([[0.0, 0.0, 0.0]]), spec, **f32)
+    b = hash_encode(table, jnp.array([[0.5, 0.0, 0.0]]), spec, **f32)
+    mid = hash_encode(table, jnp.array([[0.25, 0.0, 0.0]]), spec, **f32)
     np.testing.assert_allclose(np.asarray(mid), (np.asarray(a) + np.asarray(b)) / 2,
                                rtol=1e-5, atol=1e-6)
 

@@ -25,6 +25,20 @@ import os
 
 ROOT_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent XLA compilation cache: TPU train-step compiles run minutes on
+# this toolchain; caching them across processes makes the CLI entry points
+# usable. Opt out with UCSA_NO_COMPILATION_CACHE=1.
+if not os.environ.get("UCSA_NO_COMPILATION_CACHE"):
+    try:
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/ucsa_jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
 # Default env-config name, mirroring the reference's ENV_WORKSTATION_NAME
 # convention (ref: nr4seg/__init__.py:3-6).
 if "ENV_WORKSTATION_NAME" not in os.environ:

@@ -1,0 +1,111 @@
+"""ctypes bindings for the native C++ image-loading runtime (native/).
+
+Replaces cv2/imageio decode+resize in the datasets when available; falls
+back silently so the framework works without a C++ toolchain. Thread-pool
+batch decode runs entirely outside the GIL — the single-core host overlaps
+decode with TPU compute.
+"""
+
+import ctypes
+import os
+
+import numpy as np
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        from native.build import build  # repo-root package
+    except ImportError:
+        try:
+            import importlib.util
+            here = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            spec = importlib.util.spec_from_file_location(
+                "ucsa_native_build", os.path.join(here, "native", "build.py"))
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            build = mod.build
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(build())
+    except Exception:
+        return None
+    lib.ucsa_load_rgb.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.POINTER(ctypes.c_float)]
+    lib.ucsa_load_rgb.restype = ctypes.c_int
+    lib.ucsa_load_label.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                    ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_int32)]
+    lib.ucsa_load_label.restype = ctypes.c_int
+    lib.ucsa_load_depth.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                    ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_float)]
+    lib.ucsa_load_depth.restype = ctypes.c_int
+    lib.ucsa_load_rgb_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.ucsa_load_rgb_batch.restype = None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_rgb(path: str, w: int, h: int) -> np.ndarray | None:
+    """[h, w, 3] float32 in [0,1] (area resize), or None on failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((h, w, 3), np.float32)
+    rc = lib.ucsa_load_rgb(path.encode(), w, h,
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out if rc == 0 else None
+
+
+def load_label(path: str, w: int, h: int) -> np.ndarray | None:
+    """[h, w] int32 raw stored values (nearest resize), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((h, w), np.int32)
+    rc = lib.ucsa_load_label(path.encode(), w, h,
+                             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out if rc == 0 else None
+
+
+def load_depth(path: str, w: int, h: int) -> np.ndarray | None:
+    """[h, w] float32 meters from a 16-bit mm PNG, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((h, w), np.float32)
+    rc = lib.ucsa_load_depth(path.encode(), w, h,
+                             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out if rc == 0 else None
+
+
+def load_rgb_batch(paths: list[str], w: int, h: int):
+    """([n, h, w, 3] float32, status [n] int32) via the C++ thread pool."""
+    lib = _load()
+    if lib is None:
+        return None, None
+    n = len(paths)
+    out = np.empty((n, h, w, 3), np.float32)
+    status = np.empty((n,), np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.ucsa_load_rgb_batch(arr, n, w, h,
+                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                            status.ctypes.data_as(
+                                ctypes.POINTER(ctypes.c_int32)))
+    return out, status

@@ -21,6 +21,7 @@ from glob import glob
 import cv2
 import numpy as np
 
+from . import native_loader
 from .scannet import _host_augment
 
 
@@ -81,11 +82,17 @@ class ScanNetNGP:
         return len(self.image_pths)
 
     def _read_rgb(self, path):
+        out = native_loader.load_rgb(path, self.W, self.H)
+        if out is not None:
+            return out
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
         return cv2.resize(img, (self.W, self.H), interpolation=cv2.INTER_AREA)
 
     def _read_label(self, path, is_nerf):
+        out = native_loader.load_label(path, self.W, self.H)
+        if out is not None:
+            return out.astype(np.float32)
         label = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         label = cv2.resize(label, (self.W, self.H),
                            interpolation=cv2.INTER_NEAREST)

@@ -30,6 +30,7 @@ from collections import defaultdict
 import cv2
 import numpy as np
 
+from . import native_loader
 from .rays import nerf_matrix_to_ngp
 from .scannet import _host_augment
 
@@ -208,17 +209,26 @@ class ScanNetNGPJoint:
 
     # ------------------------------------------------------------- item utils
     def _read_rgb(self, path):
+        out = native_loader.load_rgb(path, self.W, self.H)
+        if out is not None:
+            return out
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
         return cv2.resize(img, (self.W, self.H), interpolation=cv2.INTER_AREA)
 
     def _read_label(self, path):
+        out = native_loader.load_label(path, self.W, self.H)
+        if out is not None:
+            return out.astype(np.int64) - 1  # −1 unknown, 0..39
         label = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         label = cv2.resize(label, (self.W, self.H),
                            interpolation=cv2.INTER_NEAREST)
-        return label.astype(np.int64) - 1  # −1 unknown, 0..39
+        return label.astype(np.int64) - 1
 
     def _read_depth(self, path):
+        out = native_loader.load_depth(path, self.W, self.H)
+        if out is not None:
+            return out
         depth = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         assert depth is not None and depth.dtype == np.uint16, path
         depth = cv2.resize(depth, (self.W, self.H),

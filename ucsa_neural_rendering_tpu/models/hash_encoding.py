@@ -120,18 +120,37 @@ def _level_indices(x01: jnp.ndarray, res: int, size: int, is_hashed: bool):
     return idx.astype(jnp.int32), w
 
 
-def hash_encode(table: jnp.ndarray, x01: jnp.ndarray,
-                spec: HashGridSpec) -> jnp.ndarray:
-    """table: [table_size, F]; x01: [N, 3] in [0,1] → [N, L*F] features."""
-    feats = []
+def packed_indices_weights(x01: jnp.ndarray, spec: HashGridSpec):
+    """[N, 3] → (global corner indices [N, L, 8] int32 into the concatenated
+    table, trilinear weights [N, L, 8] fp32). One array per quantity across
+    all levels so downstream gathers/scatters are a single fused op."""
+    idx_all, w_all = [], []
     for lvl in range(spec.n_levels):
         idx, w = _level_indices(x01, spec.resolutions[lvl], spec.sizes[lvl],
                                 spec.hashed[lvl])
-        lvl_tab = jax.lax.dynamic_slice_in_dim(table, spec.offsets[lvl],
-                                               spec.sizes[lvl], axis=0)
-        corner_feats = jnp.take(lvl_tab, idx, axis=0)  # [N, 8, F]
-        feats.append(jnp.sum(corner_feats * w[..., None], axis=1))
-    return jnp.concatenate(feats, axis=-1)
+        idx_all.append(idx + spec.offsets[lvl])
+        w_all.append(w)
+    return jnp.stack(idx_all, axis=1), jnp.stack(w_all, axis=1)
+
+
+def hash_encode(table: jnp.ndarray, x01: jnp.ndarray, spec: HashGridSpec,
+                compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """table: [table_size, F]; x01: [N, 3] in [0,1] → [N, L*F] features.
+
+    All L levels' 8-corner lookups are packed into ONE gather over the
+    concatenated table — XLA gather on TPU has a large per-op overhead, so
+    one [N*L*8]-row gather beats L separate ones by a wide margin. The
+    gathered features and trilinear blend run in bf16 (tcnn stores its hash
+    tables in fp16; fp32 master params live in the optimizer), halving the
+    dominant [N, L, 8, F] intermediate.
+    """
+    n = x01.shape[0]
+    idx, w = packed_indices_weights(x01, spec)  # [N, L, 8]
+    corner_feats = jnp.take(table.astype(compute_dtype), idx.reshape(-1),
+                            axis=0)
+    corner_feats = corner_feats.reshape(n, spec.n_levels, 8, spec.n_features)
+    feats = jnp.sum(corner_feats * w[..., None].astype(compute_dtype), axis=2)
+    return feats.reshape(n, spec.n_levels * spec.n_features)
 
 
 class HashGridEncoding(nn.Module):

@@ -1,0 +1,80 @@
+"""Occupancy grid: density-driven sample placement.
+
+TPU-native replacement for the reference's *dead* CUDA occupancy-grid ray
+marcher (ref: nr4seg/nerf/raymarching/src/raymarching.cu:138-307 — the
+`cuda_ray` path is hard-disabled in the reference,
+joint_train_lightning_net.py:33, but the density-grid skip is the main
+instant-ngp speed trick). Instead of marching variable-length rays (dynamic
+shapes — hostile to XLA), we keep STATIC shapes and use the grid as a prior
+for inverse-CDF sample placement: candidate depths get occupancy weights and
+`sample_pdf` concentrates the fixed per-ray sample budget inside occupied
+space. This cuts the per-step hash-table traffic (the single-chip
+bottleneck: TPU gathers/scatters cost ~5-85 ns/row) by the sample-reduction
+factor while keeping the compositing math identical.
+
+Grid: RES³ cells over the cubic [-bound, bound]³ volume; maintained as an
+EMA of jittered cell-center densities (instant-ngp style decay-and-max),
+refreshed every few steps by one extra density pass.
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_RES = 128
+
+
+@dataclass(frozen=True)
+class OccupancyConfig:
+    resolution: int = DEFAULT_RES
+    decay: float = 0.95
+    update_every: int = 16
+    # occupancy weight floor: candidates in "empty" cells keep a small
+    # probability so thin/new geometry can still receive samples
+    floor: float = 0.01
+    density_threshold: float = 0.01
+
+
+def init_grid(cfg: OccupancyConfig = OccupancyConfig()) -> jnp.ndarray:
+    """Optimistic init (everything occupied) so early training samples the
+    whole volume, like instant-ngp's warmup."""
+    r = cfg.resolution
+    return jnp.ones((r, r, r), jnp.float32)
+
+
+def update_grid(grid: jnp.ndarray, density_fn, bound: float, key: jax.Array,
+                cfg: OccupancyConfig = OccupancyConfig(),
+                chunk: int = 262144) -> jnp.ndarray:
+    """EMA-update the grid with fresh densities at jittered cell centers.
+
+    density_fn: [M, 3] → sigma [M]. One full-grid refresh = RES³ density
+    evaluations, chunked to bound memory.
+    """
+    r = cfg.resolution
+    chunk = min(chunk, r ** 3)  # r^3 is a power of two → chunk divides it
+    cells = jnp.stack(jnp.meshgrid(jnp.arange(r), jnp.arange(r),
+                                   jnp.arange(r), indexing="ij"),
+                      axis=-1).reshape(-1, 3).astype(jnp.float32)
+    jitter = jax.random.uniform(key, cells.shape)
+    xyz = (cells + jitter) / r * (2.0 * bound) - bound
+
+    def one_chunk(pts):
+        return density_fn(pts)
+
+    sigmas = jax.lax.map(one_chunk, xyz.reshape(-1, chunk, 3))
+    sigmas = sigmas.reshape(r, r, r)
+    return jnp.maximum(grid * cfg.decay, sigmas)
+
+
+def occupancy_at(grid: jnp.ndarray, xyz: jnp.ndarray, bound: float,
+                 cfg: OccupancyConfig = OccupancyConfig()) -> jnp.ndarray:
+    """Occupancy weights in [floor, 1] for points xyz [..., 3]."""
+    r = grid.shape[0]
+    cell = jnp.clip(((xyz + bound) / (2.0 * bound) * r).astype(jnp.int32),
+                    0, r - 1)
+    flat = (cell[..., 0] * r + cell[..., 1]) * r + cell[..., 2]
+    sigma = jnp.take(grid.reshape(-1), flat.reshape(-1),
+                     axis=0).reshape(flat.shape)
+    occ = sigma > cfg.density_threshold
+    return jnp.where(occ, 1.0, cfg.floor)

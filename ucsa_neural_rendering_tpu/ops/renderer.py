@@ -42,6 +42,9 @@ class RenderConfig:
     min_near: float = 0.2
     weight_mask_threshold: float = 1e-4
     max_ray_batch: int = 4096
+    # number of occupancy-probe depths per ray when an occupancy grid guides
+    # coarse sample placement (render_rays occ_grid argument)
+    occ_candidates: int = 128
     # rematerialize the MLP/hash-encoding evaluations in the backward pass:
     # the per-sample gather indices + trilinear weights of the hash encoding
     # (~GBs at 4096x512 samples) are recomputed instead of stored, trading
@@ -55,7 +58,8 @@ def _clip_to_aabb(xyz, aabb):
 
 def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
                 rays_d: jnp.ndarray, direction_norms: jnp.ndarray,
-                key: jax.Array | None, cfg: RenderConfig = RenderConfig()):
+                key: jax.Array | None, cfg: RenderConfig = RenderConfig(),
+                occ_grid: jnp.ndarray | None = None):
     """Render a flat batch of rays.
 
     Args:
@@ -98,7 +102,22 @@ def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
         k_coarse = k_fine = None
 
     # --- coarse pass ---
-    z_vals = stratified_samples(nears, fars, cfg.num_steps, k_coarse)  # [N,T]
+    if occ_grid is not None:
+        # occupancy-guided placement: weight uniformly-spaced candidate
+        # depths by grid occupancy and draw the sample budget from that CDF
+        # (static-shape replacement for occupancy-grid ray marching; see
+        # ops/occupancy.py)
+        from .occupancy import occupancy_at
+        n_cand = cfg.occ_candidates
+        cand_z = stratified_samples(nears, fars, n_cand, None)
+        cand_xyz = rays_o[:, None, :] + rays_d[:, None, :] * cand_z[..., None]
+        w_occ = occupancy_at(occ_grid, cand_xyz, bound)
+        z_mid_cand = 0.5 * (cand_z[..., 1:] + cand_z[..., :-1])
+        z_vals = sample_pdf(z_mid_cand, w_occ[..., 1:-1], cfg.num_steps,
+                            k_coarse)
+        z_vals = jnp.sort(z_vals, axis=-1)
+    else:
+        z_vals = stratified_samples(nears, fars, cfg.num_steps, k_coarse)
     xyz = _clip_to_aabb(
         rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None], aabb)
     sigma, geo = density_fn(xyz.reshape(-1, 3))
@@ -145,7 +164,8 @@ def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
 def render_rays_staged(model: SemanticNeRF, variables: Any,
                        rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                        direction_norms: jnp.ndarray,
-                       cfg: RenderConfig = RenderConfig()):
+                       cfg: RenderConfig = RenderConfig(),
+                       occ_grid: jnp.ndarray | None = None):
     """Full-frame render: lax.map over fixed-size ray chunks.
 
     Replaces the reference's Python `while head < N` staging loop
@@ -174,7 +194,7 @@ def render_rays_staged(model: SemanticNeRF, variables: Any,
 
     def one_chunk(args):
         o, d, nrm = args
-        return render_rays(model, variables, o, d, nrm, None, cfg)
+        return render_rays(model, variables, o, d, nrm, None, cfg, occ_grid)
 
     out = jax.lax.map(one_chunk, (ro, rd, dn))
     return {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}

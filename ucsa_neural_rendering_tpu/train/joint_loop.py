@@ -20,8 +20,10 @@ import numpy as np
 from ..data import DataLoader, ScanNet, ScanNetCLJoint, ScanNetNGPJoint, load_split
 from ..metrics import SemanticsMeter
 from ..ops.renderer import RenderConfig
+from ..utils.profiling import StepTimer, maybe_trace
+from ..viz import Visualizer
 from ..viz.colormaps import NYU40_COLOUR_CODE
-from .checkpoints import load_deeplab, save_deeplab
+from .checkpoints import load_deeplab, save_deeplab, save_tree
 from .experiment import seed_everything, setup_experiment
 from .joint_trainer import JointTrainer
 
@@ -85,12 +87,25 @@ def build_datamodule(exp, env, output_size, val_scene_list=None):
         train_joint = ScanNetCLJoint(scannet_25k, train_joint,
                                      ngp_25k_ratio=exp["cl"]["ngp_25k_ratio"])
     dm["train_joint"] = train_joint
+    # 25k generalization test set (ref joint_train_data_module.py:55-66);
+    # only when the split file is on disk
+    cfg_dm = exp["data_module"]
+    split_path = os.path.join(env["scannet_frames_25k"],
+                              cfg_dm["data_preprocessing"]["split_file"])
+    dm["test_25k"] = None
+    if os.path.isfile(split_path):
+        split = load_split(split_path)
+        dm["test_25k"] = ScanNet(root=env["scannet_frames_25k"],
+                                 img_list=split["test"], mode="test",
+                                 output_size=output_size)
     return dm
 
 
-def validate_seg(trainer, seg_state, dataset, meter_factory, logger, prefix):
+def validate_seg(trainer, seg_state, dataset, meter_factory, logger, prefix,
+                 visualizer=None, visu_n=0):
     """Per-scene seg validation (ref validation_step :541-639): bs=1 frames
-    grouped by scene, one meter per scene."""
+    grouped by scene, one meter per scene; first visu_n frames plotted
+    (ref visu :304-341)."""
     results = {}
     meter = meter_factory()
     prev_scene = None
@@ -104,6 +119,14 @@ def validate_seg(trainer, seg_state, dataset, meter_factory, logger, prefix):
         pred, _, _ = trainer.seg_infer(seg_state,
                                        jnp.asarray(item["img"])[None])
         meter.update(pred[0], jnp.asarray(item["label"]))
+        if visualizer is not None and i < visu_n:
+            visualizer.plot_image(item["img"], tag=f"{prefix}_vis/gt_image_{i}")
+            visualizer.plot_segmentation(
+                np.asarray(pred[0]) + 1, tag=f"{prefix}_vis/pred_seg_{i}")
+            visualizer.plot_segmentation(
+                item["label"] + 1, tag=f"{prefix}_vis/target_{i}")
+            visualizer.plot_detectron(item["img"], item["label"] + 1,
+                                      tag=f"{prefix}_vis/detectron_{i}")
     if prev_scene is not None:
         results[prev_scene] = meter.measure()
     if logger is not None:
@@ -114,14 +137,16 @@ def validate_seg(trainer, seg_state, dataset, meter_factory, logger, prefix):
     return results
 
 
-def test_nerf(trainer, nerf_state, dataset, num_classes, logger, prefix):
+def test_nerf(trainer, nerf_state, dataset, num_classes, logger, prefix,
+              occ_grid=None):
     """NeRF pseudo-label quality on train frames (ref test_step :648-660)."""
     meter = SemanticsMeter(num_classes)
     for i in range(len(dataset)):
         item = dataset[i]
         out = trainer._render_frame(nerf_state[0],
                                     jnp.asarray(item["pose"]),
-                                    jnp.asarray(item["intrinsics"]))
+                                    jnp.asarray(item["intrinsics"]),
+                                    occ_grid)
         meter.update(out["nerf_semantics"], jnp.asarray(item["label"]))
     miou, tacc, macc = meter.measure()
     if logger is not None:
@@ -162,7 +187,8 @@ def write_predict_outputs(root_folder, item, out):
         cv2.cvtColor(NYU40_COLOUR_CODE[seg_label], cv2.COLOR_RGB2BGR))
 
 
-def run_predict(trainer, nerf_state, seg_state, dataset, root_folder):
+def run_predict(trainer, nerf_state, seg_state, dataset, root_folder,
+                occ_grid=None):
     make_predict_dirs(root_folder)
     for i in range(len(dataset)):
         item = dataset[i]
@@ -170,7 +196,7 @@ def run_predict(trainer, nerf_state, seg_state, dataset, root_folder):
         out = trainer.predict_frame(nerf_state, seg_state,
                                     jnp.asarray(item["pose"]),
                                     jnp.asarray(item["intrinsics"]),
-                                    image=image)
+                                    image=image, occ_grid=occ_grid)
         write_predict_outputs(root_folder, item, out)
 
 
@@ -215,6 +241,8 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     key, k1, k2 = jax.random.split(key, 3)
     nerf_state = trainer.init_nerf(k1)
     seg_state = trainer.init_seg(k2)
+    occ_grid = trainer.init_occupancy()
+    occ_step = 0
 
     # checkpoint load with aux-head surgery (ref :111-132)
     if exp.get("trainer", {}).get("load_from_checkpoint") and \
@@ -226,6 +254,15 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
 
     dm = build_datamodule(exp, env, output_size, val_scene_list)
     bs = exp["data_module"]["batch_size"]
+    viz_cfg = exp.get("visualizer", {})
+    visualizer = Visualizer(os.path.join(model_path, "visu"),
+                            store=viz_cfg.get("store", False))
+    visu_n = viz_cfg.get("store_n", {}).get("val", 0) \
+        if viz_cfg.get("store", False) else 0
+
+    profile = bool(exp.get("trainer", {}).get("profiler", False))
+    timer = StepTimer(os.path.join(model_path, "profile_steps.jsonl")
+                      if profile else None)
 
     # --- phase 1: NeRF-only fit (bs=1 loader, ref :119-127,163-165) ---
     nerf_dl = DataLoader(dm["train_nerf"], batch_size=1, shuffle=True,
@@ -234,14 +271,22 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
         for batch in nerf_dl:
             key, k = jax.random.split(key)
             nerf_state, logs = trainer.nerf_fit_step(nerf_state, seg_state,
-                                                     _nerf_batch(batch), k)
+                                                     _nerf_batch(batch), k,
+                                                     occ_grid)
+            occ_step += 1
+            if occ_grid is not None and \
+                    occ_step % trainer.occ_cfg.update_every == 0:
+                key, k = jax.random.split(key)
+                occ_grid = trainer.update_occupancy(nerf_state, occ_grid, k)
         logger.log({f"train/{n}": v for n, v in logs.items()}, step=epoch)
+        timer.tick("nerf_epoch", epoch=epoch)
 
     # initial nerf quality + seg validation (ref :167-169)
     test_nerf(trainer, nerf_state, dm["train_nerf"], num_classes, logger,
-              "test_pre")
+              "test_pre", occ_grid)
     validate_seg(trainer, seg_state, dm["val"],
-                 lambda: SemanticsMeter(num_classes), logger, "val_pre")
+                 lambda: SemanticsMeter(num_classes), logger, "val_pre",
+                 visualizer, visu_n)
 
     # --- phase 2: joint training (ref :171-177) ---
     joint_dl = DataLoader(dm["train_joint"], batch_size=bs, shuffle=True,
@@ -253,22 +298,48 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
         for batch_old, batch_new, batch_cl in joint_dl:
             key, k = jax.random.split(key)
             nerf_state, seg_state, logs = trainer.joint_step(
-                nerf_state, seg_state, batch_old, batch_new, batch_cl, k)
+                nerf_state, seg_state, batch_old, batch_new, batch_cl, k,
+                occ_grid)
+            occ_step += 1
+            if occ_grid is not None and not exp.get("fix_nerf") and \
+                    occ_step % trainer.occ_cfg.update_every == 0:
+                key, k = jax.random.split(key)
+                occ_grid = trainer.update_occupancy(nerf_state, occ_grid, k)
         logger.log({f"train/{n}": v for n, v in logs.items()},
                    step=args.nerf_train_epoch + epoch)
+        timer.tick("joint_epoch", epoch=epoch)
         if (epoch + 1) % 10 == 0:
             validate_seg(trainer, seg_state, dm["val"],
                          lambda: SemanticsMeter(num_classes), logger,
-                         f"val_e{epoch + 1}")
+                         f"val_e{epoch + 1}", visualizer, visu_n)
+            validate_seg(trainer, seg_state, dm["train_val"],
+                         lambda: SemanticsMeter(num_classes), logger,
+                         f"train_val_e{epoch + 1}")
             # mid-training predict dump (ref :344-355,784-874)
             run_predict(trainer, nerf_state, seg_state, dm["predict"],
-                        f"{scene_root}_epoch_{epoch + 1}")
+                        f"{scene_root}_epoch_{epoch + 1}", occ_grid)
 
     # --- final tests + predict + ckpt (ref :179-186) ---
     test_nerf(trainer, nerf_state, dm["train_nerf"], num_classes, logger,
-              "test")
-    run_predict(trainer, nerf_state, seg_state, dm["predict"], scene_root)
+              "test", occ_grid)
+    if dm["test_25k"] is not None:
+        meter = SemanticsMeter(num_classes)
+        for i in range(len(dm["test_25k"])):
+            img, label, _ = dm["test_25k"][i]
+            pred, _, _ = trainer.seg_infer(seg_state, jnp.asarray(img)[None])
+            meter.update(pred[0], jnp.asarray(label))
+        miou, tacc, macc = meter.measure()
+        logger.log({"test/25k_mean_IoU": miou,
+                    "test/25k_total_accuracy": tacc,
+                    "test/25k_mean_accuracy": macc})
+    run_predict(trainer, nerf_state, seg_state, dm["predict"], scene_root,
+                occ_grid)
     save_deeplab(os.path.join(model_path, "deeplab_ckpt"), seg_state[0],
                  seg_state[1])
+    # also persist the per-scene NeRF (the reference's save_last Lightning
+    # ckpt carries it, ref train_joint.py:90-94; scene NeRFs are not chained
+    # across stages but are needed to re-render replay views on demand)
+    save_tree(os.path.join(model_path, "nerf_ckpt"),
+              {"params": nerf_state[0]})
     logger.close()
     return nerf_state, seg_state

@@ -32,6 +32,7 @@ from ..data.augmentation import augment
 from ..data.rays import get_rays, get_rays_sampled
 from ..models.deeplabv3 import DeepLabV3
 from ..models.semantic_nerf import SemanticNeRF
+from ..ops.occupancy import OccupancyConfig, init_grid, update_grid
 from ..ops.renderer import (RenderConfig, normalize_semantics, render_rays,
                             render_rays_staged)
 from .nerf_trainer import make_nerf_optimizer, nerf_losses
@@ -62,14 +63,25 @@ class JointTrainer:
         self.nerf_tx = make_nerf_optimizer(float(opt.get("lr_nerf", 1e-2)))
         self.seg_tx = make_seg_optimizer(opt, lr_key="lr_seg")
 
+        # occupancy-guided sampling (TPU accel; exp["nerf"]["use_occupancy"]
+        # = false restores the reference's dense stratified placement)
+        self.use_occupancy = exp.get("nerf", {}).get("use_occupancy", True)
+        self.occ_cfg = OccupancyConfig()
+
         self._seg_infer = jax.jit(self._seg_infer_impl,
                                   static_argnames=("update_bn",))
         self._nerf_update_image = jax.jit(self._nerf_update_image_impl,
                                           donate_argnums=(0,))
-        self._render_frame = jax.jit(self._render_frame_impl)
+        self._nerf_update_image_occ = jax.jit(self._nerf_update_image_impl,
+                                              donate_argnums=(0,))
+        self._render_frame_nogrid = jax.jit(
+            lambda p, pose, intr: self._render_frame_impl(p, pose, intr, None))
+        self._render_frame_grid = jax.jit(self._render_frame_impl)
         self._seg_update = jax.jit(self._seg_update_impl,
                                    donate_argnums=(0,))
         self._augment_rendered = jax.jit(self._augment_rendered_impl)
+        self._update_grid = jax.jit(self._update_grid_impl,
+                                    donate_argnums=(1,))
 
     # ------------------------------------------------------------------- init
     def init_nerf(self, key):
@@ -111,8 +123,25 @@ class JointTrainer:
         return pred, probs, (params, new_stats, opt)
 
     # ------------------------------------------------------------ nerf update
+    def init_occupancy(self):
+        return init_grid(self.occ_cfg) if self.use_occupancy else None
+
+    def _update_grid_impl(self, nerf_params, grid, key):
+        def density_fn(pts):
+            sigma, _ = self.nerf_model.apply({"params": nerf_params}, pts,
+                                             method="density")
+            return sigma
+        return update_grid(grid, density_fn, self.nerf_model.bound, key,
+                           self.occ_cfg)
+
+    def update_occupancy(self, nerf_state, grid, key):
+        if grid is None:
+            return None
+        return self._update_grid(nerf_state[0], grid, key)
+
     def _nerf_update_image_impl(self, nerf_state, image, pseudo_label, depth,
-                                pose, intrinsics, one_m_to_scene_uom, key):
+                                pose, intrinsics, one_m_to_scene_uom, key,
+                                occ_grid=None):
         """One Adam step on one image's 4096-ray batch
         (ref forward_nerf_train :167-223 + scaler step :509-513)."""
         params, opt_state = nerf_state
@@ -125,7 +154,7 @@ class JointTrainer:
 
         def loss_fn(p):
             out = render_rays(self.nerf_model, {"params": p}, rays_o, rays_d,
-                              dnorms, k_render, self.cfg)
+                              dnorms, k_render, self.cfg, occ_grid)
             return nerf_losses(out, gt_rgb, labels, gt_depth,
                                one_m_to_scene_uom, self.num_classes)
 
@@ -135,13 +164,14 @@ class JointTrainer:
         return (params, opt_state), parts
 
     # ------------------------------------------------------------- rendering
-    def _render_frame_impl(self, nerf_params, pose, intrinsics):
+    def _render_frame_impl(self, nerf_params, pose, intrinsics,
+                           occ_grid=None):
         """forward_nerf_test for one frame (ref :225-257): staged full-image
         render + semantics renormalization + argmax."""
         rays = get_rays(pose, intrinsics, self.H, self.W)
         out = render_rays_staged(self.nerf_model, {"params": nerf_params},
                                  rays["rays_o"], rays["rays_d"],
-                                 rays["direction_norms"], self.cfg)
+                                 rays["direction_norms"], self.cfg, occ_grid)
         sem, invalid = normalize_semantics(out["semantics"])
         return {
             "nerf_rgb": out["image"].reshape(self.H, self.W, 3),
@@ -150,9 +180,16 @@ class JointTrainer:
             "nerf_depth": out["depth"].reshape(self.H, self.W),
         }
 
-    def render_frames(self, nerf_params, poses, intrinsics):
+    def _render_frame(self, nerf_params, pose, intrinsics, occ_grid=None):
+        if occ_grid is None:
+            return self._render_frame_nogrid(nerf_params, pose, intrinsics)
+        return self._render_frame_grid(nerf_params, pose, intrinsics,
+                                       occ_grid)
+
+    def render_frames(self, nerf_params, poses, intrinsics, occ_grid=None):
         """Render B frames sequentially (each internally chunked)."""
-        outs = [self._render_frame(nerf_params, poses[b], intrinsics)
+        outs = [self._render_frame(nerf_params, poses[b], intrinsics,
+                                   occ_grid)
                 for b in range(poses.shape[0])]
         return {k: jnp.stack([o[k] for o in outs], 0) for k in outs[0]}
 
@@ -190,7 +227,15 @@ class JointTrainer:
         return (params, new_stats, opt_state), loss
 
     # ============================================================== phases ==
-    def nerf_fit_step(self, nerf_state, seg_state, batch, key):
+    def _nerf_update(self, nerf_state, image, label, depth, pose, intr, uom,
+                     key, occ_grid):
+        if occ_grid is None:
+            return self._nerf_update_image(nerf_state, image, label, depth,
+                                           pose, intr, uom, key)
+        return self._nerf_update_image_occ(nerf_state, image, label, depth,
+                                           pose, intr, uom, key, occ_grid)
+
+    def nerf_fit_step(self, nerf_state, seg_state, batch, key, occ_grid=None):
         """Phase-1 step (ref training_step_nerf :473-513): seg pseudo-labels
         (no BN update), then one NeRF Adam step per image.
 
@@ -202,15 +247,15 @@ class JointTrainer:
         b = batch["img"].shape[0]
         for i in range(b):
             key, k = jax.random.split(key)
-            nerf_state, parts = self._nerf_update_image(
+            nerf_state, parts = self._nerf_update(
                 nerf_state, batch["img"][i], pseudo[i], batch["depth"][i],
                 batch["pose"][i], batch["intrinsics"][i],
-                batch["one_m_to_scene_uom"][i], k)
+                batch["one_m_to_scene_uom"][i], k, occ_grid)
             logs = {k2: float(v) for k2, v in parts.items()}
         return nerf_state, logs
 
     def joint_step(self, nerf_state, seg_state, batch_old, batch_new,
-                   batch_cl, key):
+                   batch_cl, key, occ_grid=None):
         """Phase-2 step (ref training_step_joint :363-471).
 
         Returns (nerf_state, seg_state, logs).
@@ -220,7 +265,7 @@ class JointTrainer:
         if batch_new is not None:
             rendered = self.render_frames(
                 nerf_state[0], jnp.asarray(batch_new["pose"]),
-                jnp.asarray(batch_new["intrinsics"][0]))
+                jnp.asarray(batch_new["intrinsics"][0]), occ_grid)
 
             if not self.fix_nerf:
                 b = batch_new["img"].shape[0]
@@ -229,12 +274,13 @@ class JointTrainer:
                     update_bn=b > 1)
                 for i in range(b):
                     key, k = jax.random.split(key)
-                    nerf_state, parts = self._nerf_update_image(
+                    nerf_state, parts = self._nerf_update(
                         nerf_state, jnp.asarray(batch_new["img"][i]),
                         pseudo[i], jnp.asarray(batch_new["depth"][i]),
                         jnp.asarray(batch_new["pose"][i]),
                         jnp.asarray(batch_new["intrinsics"][i]),
-                        jnp.asarray(batch_new["one_m_to_scene_uom"][i]), k)
+                        jnp.asarray(batch_new["one_m_to_scene_uom"][i]), k,
+                        occ_grid)
                 logs.update({k2: float(v) for k2, v in parts.items()})
 
         # ---- assemble seg batch (ref :419-454) ----
@@ -262,11 +308,11 @@ class JointTrainer:
 
     # ------------------------------------------------------------ prediction
     def predict_frame(self, nerf_state, seg_state, pose, intrinsics,
-                      image=None):
+                      image=None, occ_grid=None):
         """One predict item (ref predict_step :714-782): NeRF render + seg
         forward (on the render itself for novel viewpoints). Returns device
         dict; host IO belongs to the caller."""
-        out = self._render_frame(nerf_state[0], pose, intrinsics)
+        out = self._render_frame(nerf_state[0], pose, intrinsics, occ_grid)
         seg_input = (out["nerf_rgb"][None] if image is None
                      else jnp.asarray(image)[None])
         seg_pred, _, _ = self.seg_infer(seg_state, seg_input, update_bn=False)

@@ -21,6 +21,7 @@ import optax
 
 from ..data.rays import get_rays_sampled
 from ..models.semantic_nerf import SemanticNeRF
+from ..ops.occupancy import OccupancyConfig, init_grid, update_grid
 from ..ops.renderer import (RenderConfig, normalize_semantics, render_rays,
                             render_rays_staged)
 
@@ -97,8 +98,14 @@ class NeRFTrainer:
         self.n_rays = n_rays
         self.H, self.W = image_hw
         self.mesh = mesh
+        self.occ_cfg = OccupancyConfig()
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._train_step_occ = jax.jit(self._train_step_occ_impl,
+                                       donate_argnums=(0, 1))
         self._render_image = jax.jit(self._render_image_impl)
+        self._render_image_occ = jax.jit(self._render_image_impl)
+        self._update_grid = jax.jit(self._update_grid_impl,
+                                    donate_argnums=(1,))
 
     def _shard_rays(self, *arrays):
         if self.mesh is None:
@@ -114,8 +121,31 @@ class NeRFTrainer:
         params = variables["params"]
         return params, self.tx.init(params)
 
+    # --- occupancy state ---
+    def init_occupancy(self):
+        return init_grid(self.occ_cfg)
+
+    def _update_grid_impl(self, params, grid, key):
+        def density_fn(pts):
+            sigma, _ = self.model.apply({"params": params}, pts,
+                                        method="density")
+            return sigma
+        return update_grid(grid, density_fn, self.model.bound, key,
+                           self.occ_cfg)
+
+    def update_occupancy(self, params, grid, key):
+        """Refresh the density EMA grid (call every occ_cfg.update_every
+        steps)."""
+        return self._update_grid(params, grid, key)
+
     # --- jitted impls ---
+    def _train_step_occ_impl(self, params, opt_state, batch, key, occ_grid):
+        return self._step_body(params, opt_state, batch, key, occ_grid)
+
     def _train_step_impl(self, params, opt_state, batch, key):
+        return self._step_body(params, opt_state, batch, key, None)
+
+    def _step_body(self, params, opt_state, batch, key, occ_grid):
         """One image, one ray batch, one Adam step.
 
         batch: dict with pose [4,4], intrinsics [4], image [H,W,3],
@@ -134,7 +164,7 @@ class NeRFTrainer:
 
         def loss_fn(p):
             outputs = render_rays(self.model, {"params": p}, rays_o, rays_d,
-                                  dnorms, k_render, self.cfg)
+                                  dnorms, k_render, self.cfg, occ_grid)
             return nerf_losses(outputs, gt_rgb, labels, gt_depth,
                                batch["one_m_to_scene_uom"],
                                self.model.num_semantic_classes)
@@ -144,13 +174,14 @@ class NeRFTrainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, parts
 
-    def _render_image_impl(self, params, pose, intrinsics, rays):
+    def _render_image_impl(self, params, pose, intrinsics, rays,
+                           occ_grid=None):
         """Full-frame deterministic render → rgb [H,W,3], semantic argmax
         [H,W], semantic probs [H,W,C], depth [H,W]
         (ref forward_nerf_test, joint_train_lightning_net.py:225-257)."""
         out = render_rays_staged(self.model, {"params": params},
                                  rays["rays_o"], rays["rays_d"],
-                                 rays["direction_norms"], self.cfg)
+                                 rays["direction_norms"], self.cfg, occ_grid)
         sem, invalid = normalize_semantics(out["semantics"])
         pred_sem = jnp.argmax(sem, axis=-1)
         H, W = self.H, self.W
@@ -163,8 +194,12 @@ class NeRFTrainer:
         }
 
     # --- public API ---
-    def train_step(self, params, opt_state, batch, key):
-        return self._train_step(params, opt_state, batch, key)
+    def train_step(self, params, opt_state, batch, key, occ_grid=None):
+        if occ_grid is None:
+            return self._train_step(params, opt_state, batch, key)
+        return self._train_step_occ(params, opt_state, batch, key, occ_grid)
 
-    def render_image(self, params, pose, intrinsics, rays):
-        return self._render_image(params, pose, intrinsics, rays)
+    def render_image(self, params, pose, intrinsics, rays, occ_grid=None):
+        if occ_grid is None:
+            return self._render_image(params, pose, intrinsics, rays)
+        return self._render_image_occ(params, pose, intrinsics, rays, occ_grid)

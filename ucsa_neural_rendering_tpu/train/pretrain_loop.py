@@ -19,6 +19,7 @@ from ..metrics import SemanticsMeter
 from ..models import DeepLabV3
 from ..parallel import get_mesh, shard_batch
 from .checkpoints import load_deeplab, save_deeplab, save_tree, load_tree
+from ..utils.profiling import StepTimer, maybe_trace
 from .experiment import seed_everything, setup_experiment
 from .seg_trainer import SegTrainer, poly_lr_factor
 
@@ -107,6 +108,11 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
     meters = {m: SemanticsMeter(exp["model"]["num_classes"])
               for m in ("train", "val", "test")}
 
+    # opt-in profiler (ref: scripts/pretrain.py:89-94): jax trace of the
+    # first post-resume epoch + per-epoch wall-clock log
+    profile = bool(exp.get("trainer", {}).get("profiler", False))
+    timer = StepTimer(os.path.join(model_path, "profile_steps.jsonl")
+                      if profile else None)
     for epoch in range(start_epoch, max_epochs):
         if sched.get("active") and sched.get("name") == "POLY":
             p = sched["poly_cfg"]
@@ -116,8 +122,11 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
             lr = init_lr
 
         meters["train"].clear()
-        state = run_epoch(trainer, state, train_dl, bs, mesh, lr,
-                          meters["train"], logger, "train", train=True)
+        with maybe_trace(profile and epoch == start_epoch,
+                         os.path.join(model_path, "jax_trace")):
+            state = run_epoch(trainer, state, train_dl, bs, mesh, lr,
+                              meters["train"], logger, "train", train=True)
+        timer.tick("train_epoch", epoch=epoch)
         miou, tacc, macc = meters["train"].measure()
         logger.log({"train/mean_IoU": miou, "train/total_accuracy": tacc,
                     "train/mean_accuracy": macc, "lr": lr}, step=epoch)

@@ -1,3 +1,4 @@
 from .logger import MetricsLogger, get_logger
+from .profiling import StepTimer, maybe_trace
 
-__all__ = ["MetricsLogger", "get_logger"]
+__all__ = ["MetricsLogger", "get_logger", "StepTimer", "maybe_trace"]

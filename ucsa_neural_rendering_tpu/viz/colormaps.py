@@ -61,6 +61,26 @@ SCANNET_CLASSES = list(range(len(_SCANNET_PALETTE)))
 # map with -1 → black (ref: nr4seg/dataset/ngp_utils.py:73).
 NYU40_COLOUR_CODE = np.array(SCANNET_COLORS, dtype=np.uint8)
 
+# NYU-13 palette (standard benchmark colors; ref: scripts/eval_utils.py:47-64)
+# order: unlabeled, bed, books, ceiling, chair, floor, furniture, objects,
+# painting, sofa, table, tv, wall, window
+NYU13_COLOUR_CODE = (np.array([
+    [0, 0, 0],
+    [0, 0, 1],
+    [0.9137, 0.3490, 0.1882],
+    [0, 0.8549, 0],
+    [0.5843, 0, 0.9412],
+    [0.8706, 0.9451, 0.0941],
+    [1.0000, 0.8078, 0.8078],
+    [0, 0.8784, 0.8980],
+    [0.4157, 0.5333, 0.8000],
+    [0.4588, 0.1137, 0.1608],
+    [0.9412, 0.1373, 0.9216],
+    [0, 0.6549, 0.6118],
+    [0.9765, 0.5451, 0],
+    [0.8824, 0.8980, 0.7608],
+]) * 255).astype(np.uint8)
+
 # NYU-40 id → NYU-13 id remap table (standard benchmark mapping;
 # ref: scripts/eval_utils.py:66-152). Index 0 = unlabeled.
 NYU40_TO_13 = np.array([
