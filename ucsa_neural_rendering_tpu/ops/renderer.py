@@ -48,8 +48,15 @@ class RenderConfig:
     # rematerialize the MLP/hash-encoding evaluations in the backward pass:
     # the per-sample gather indices + trilinear weights of the hash encoding
     # (~GBs at 4096x512 samples) are recomputed instead of stored, trading
-    # ~1 extra density evaluation for fitting the step in HBM.
-    remat: bool = True
+    # ~1 extra density evaluation for fitting the step in HBM. "auto" remats
+    # only for dense sample counts (> 192/ray) where the saved buffers blow
+    # HBM; occupancy-scale steps fit and run ~10% faster without remat.
+    remat: bool | str = "auto"
+
+    def use_remat(self) -> bool:
+        if self.remat == "auto":
+            return self.num_steps + self.upsample_steps > 192
+        return bool(self.remat)
 
 
 def _clip_to_aabb(xyz, aabb):
@@ -85,7 +92,7 @@ def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
     def _semantics(v, g):
         return model.apply(v, g, method="semantics")
 
-    if cfg.remat:
+    if cfg.use_remat():
         _density = jax.checkpoint(_density)
         _color = jax.checkpoint(_color)
         _semantics = jax.checkpoint(_semantics)

@@ -16,7 +16,6 @@ import numpy as np
 from ..data import (DataLoader, ScanNet, ScanNetCL, ScanNetNGP, load_split)
 from ..metrics import SemanticsMeter
 from ..models import DeepLabV3
-from ..parallel import get_mesh
 from .checkpoints import load_deeplab, save_deeplab
 from .experiment import seed_everything, setup_experiment
 from .pretrain_loop import run_epoch
@@ -80,7 +79,9 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     train_dl = DataLoader(train_ds, batch_size=bs, shuffle=True,
                           drop_last=True, collate_fn=collate, seed=args.seed)
 
-    mesh = get_mesh() if jax.device_count() > 1 else None
+    # finetune stays single-device-jit (per-scene data is small and the val
+    # path runs bs=1 frames, which an 8-way data sharding can't split); the
+    # pretrain loop is the multi-device seg workload, as in the reference
     model = model or DeepLabV3(num_classes=num_classes)
     trainer = SegTrainer(model, exp["optimizer"])
     state = trainer.init(jax.random.key(args.seed), image_hw=output_size)
@@ -94,6 +95,7 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
 
     # validate → fit → validate (ref :115-118; the 25k "test" needs the 25k
     # split on disk and runs only when configured)
+    #
     _eval_per_scene(trainer, state, val_ds, num_classes, logger, "val_pre")
 
     lr = float(exp["optimizer"]["lr"])
