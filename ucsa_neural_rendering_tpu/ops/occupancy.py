@@ -28,8 +28,12 @@ DEFAULT_RES = 128
 @dataclass(frozen=True)
 class OccupancyConfig:
     resolution: int = DEFAULT_RES
-    decay: float = 0.95
-    update_every: int = 16
+    # decay fast enough that the optimistic all-ones init falls below the
+    # density threshold within a few hundred steps of a short per-scene fit
+    # (0.8^21 < 0.01; instant-ngp's 0.95 suits 30k+-step runs, not the
+    # reference's 10-60-epoch scene fits)
+    decay: float = 0.8
+    update_every: int = 8
     # occupancy weight floor: candidates in "empty" cells keep a small
     # probability so thin/new geometry can still receive samples
     floor: float = 0.01
