@@ -1,7 +1,5 @@
 """Checkpoint save/load roundtrips (orbax) + torch-checkpoint ingestion."""
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,8 +44,6 @@ def test_deeplab_roundtrip_and_torch_path(tmp_path, rng):
 
 def test_load_deeplab_torch_file(tmp_path, rng):
     """A torch .ckpt file routes through the converter (aux strip included)."""
-    import sys
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import torch
     from test_deeplab import fake_torchvision_state_dict
 

@@ -79,8 +79,9 @@ class DataLoader:
             try:
                 for b in batches:
                     q.put(self.collate_fn([self.dataset[int(i)] for i in b]))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # propagate into the consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -88,5 +89,8 @@ class DataLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                t.join()
+                raise item
             yield item
         t.join()

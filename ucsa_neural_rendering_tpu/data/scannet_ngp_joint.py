@@ -107,8 +107,10 @@ class ScanNetNGPJoint:
             frames = info["frames"]
             if self._mode != "predict":
                 n_val = int(0.2 * len(frames))
-                frames = (frames[-n_val:] if self._mode == "val"
-                          else frames[:-n_val] if n_val else frames)
+                if self._mode == "val":
+                    frames = frames[-n_val:] if n_val else []
+                elif n_val:
+                    frames = frames[:-n_val]
 
             novel_json = os.path.join(scene_root, self.exp_name,
                                       "novel_viewpoints",

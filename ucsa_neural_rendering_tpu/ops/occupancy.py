@@ -30,10 +30,12 @@ class OccupancyConfig:
     resolution: int = DEFAULT_RES
     # decay fast enough that the optimistic all-ones init falls below the
     # density threshold within a few hundred steps of a short per-scene fit
-    # (0.8^21 < 0.01; instant-ngp's 0.95 suits 30k+-step runs, not the
-    # reference's 10-60-epoch scene fits)
-    decay: float = 0.8
-    update_every: int = 8
+    # (0.62^11 < 0.01 → selective after ~176 steps at update_every=16;
+    # instant-ngp's 0.95 suits 30k+-step runs, not the reference's
+    # 10-60-epoch scene fits). A full-grid refresh costs ~1.8 s on v5e, so
+    # every 16 steps keeps the amortized overhead ~7% of a train step.
+    decay: float = 0.62
+    update_every: int = 16
     # occupancy weight floor: candidates in "empty" cells keep a small
     # probability so thin/new geometry can still receive samples
     floor: float = 0.01

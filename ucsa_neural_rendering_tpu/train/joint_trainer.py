@@ -70,13 +70,11 @@ class JointTrainer:
 
         self._seg_infer = jax.jit(self._seg_infer_impl,
                                   static_argnames=("update_bn",))
+        # one jitted wrapper per impl: jax.jit keys its cache on the arg
+        # pytree structure, so occ_grid=None vs an array trace separately
         self._nerf_update_image = jax.jit(self._nerf_update_image_impl,
                                           donate_argnums=(0,))
-        self._nerf_update_image_occ = jax.jit(self._nerf_update_image_impl,
-                                              donate_argnums=(0,))
-        self._render_frame_nogrid = jax.jit(
-            lambda p, pose, intr: self._render_frame_impl(p, pose, intr, None))
-        self._render_frame_grid = jax.jit(self._render_frame_impl)
+        self._render_frame_jit = jax.jit(self._render_frame_impl)
         self._seg_update = jax.jit(self._seg_update_impl,
                                    donate_argnums=(0,))
         self._augment_rendered = jax.jit(self._augment_rendered_impl)
@@ -181,10 +179,7 @@ class JointTrainer:
         }
 
     def _render_frame(self, nerf_params, pose, intrinsics, occ_grid=None):
-        if occ_grid is None:
-            return self._render_frame_nogrid(nerf_params, pose, intrinsics)
-        return self._render_frame_grid(nerf_params, pose, intrinsics,
-                                       occ_grid)
+        return self._render_frame_jit(nerf_params, pose, intrinsics, occ_grid)
 
     def render_frames(self, nerf_params, poses, intrinsics, occ_grid=None):
         """Render B frames sequentially (each internally chunked)."""
@@ -229,11 +224,8 @@ class JointTrainer:
     # ============================================================== phases ==
     def _nerf_update(self, nerf_state, image, label, depth, pose, intr, uom,
                      key, occ_grid):
-        if occ_grid is None:
-            return self._nerf_update_image(nerf_state, image, label, depth,
-                                           pose, intr, uom, key)
-        return self._nerf_update_image_occ(nerf_state, image, label, depth,
-                                           pose, intr, uom, key, occ_grid)
+        return self._nerf_update_image(nerf_state, image, label, depth,
+                                       pose, intr, uom, key, occ_grid)
 
     def nerf_fit_step(self, nerf_state, seg_state, batch, key, occ_grid=None):
         """Phase-1 step (ref training_step_nerf :473-513): seg pseudo-labels
@@ -251,7 +243,9 @@ class JointTrainer:
                 nerf_state, batch["img"][i], pseudo[i], batch["depth"][i],
                 batch["pose"][i], batch["intrinsics"][i],
                 batch["one_m_to_scene_uom"][i], k, occ_grid)
-            logs = {k2: float(v) for k2, v in parts.items()}
+            # keep device scalars; the loop converts once per epoch when it
+            # actually logs (avoids a blocking sync per image)
+            logs = dict(parts)
         return nerf_state, logs
 
     def joint_step(self, nerf_state, seg_state, batch_old, batch_new,
@@ -281,7 +275,7 @@ class JointTrainer:
                         jnp.asarray(batch_new["intrinsics"][i]),
                         jnp.asarray(batch_new["one_m_to_scene_uom"][i]), k,
                         occ_grid)
-                logs.update({k2: float(v) for k2, v in parts.items()})
+                logs.update(parts)
 
         # ---- assemble seg batch (ref :419-454) ----
         imgs, labels = [], []
@@ -303,7 +297,7 @@ class JointTrainer:
         rgb_seg = jnp.concatenate(imgs, 0)
         label_seg = jnp.concatenate(labels, 0)
         seg_state, seg_loss = self._seg_update(seg_state, rgb_seg, label_seg)
-        logs["loss_seg"] = float(seg_loss)
+        logs["loss_seg"] = seg_loss
         return nerf_state, seg_state, logs
 
     # ------------------------------------------------------------ prediction

@@ -99,11 +99,10 @@ class NeRFTrainer:
         self.H, self.W = image_hw
         self.mesh = mesh
         self.occ_cfg = OccupancyConfig()
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
-        self._train_step_occ = jax.jit(self._train_step_occ_impl,
-                                       donate_argnums=(0, 1))
+        # single jitted wrapper per impl — jax.jit retraces on pytree
+        # structure, so occ_grid None-vs-array get separate cache entries
+        self._train_step = jax.jit(self._step_body, donate_argnums=(0, 1))
         self._render_image = jax.jit(self._render_image_impl)
-        self._render_image_occ = jax.jit(self._render_image_impl)
         self._update_grid = jax.jit(self._update_grid_impl,
                                     donate_argnums=(1,))
 
@@ -139,12 +138,6 @@ class NeRFTrainer:
         return self._update_grid(params, grid, key)
 
     # --- jitted impls ---
-    def _train_step_occ_impl(self, params, opt_state, batch, key, occ_grid):
-        return self._step_body(params, opt_state, batch, key, occ_grid)
-
-    def _train_step_impl(self, params, opt_state, batch, key):
-        return self._step_body(params, opt_state, batch, key, None)
-
     def _step_body(self, params, opt_state, batch, key, occ_grid):
         """One image, one ray batch, one Adam step.
 
@@ -195,11 +188,7 @@ class NeRFTrainer:
 
     # --- public API ---
     def train_step(self, params, opt_state, batch, key, occ_grid=None):
-        if occ_grid is None:
-            return self._train_step(params, opt_state, batch, key)
-        return self._train_step_occ(params, opt_state, batch, key, occ_grid)
+        return self._train_step(params, opt_state, batch, key, occ_grid)
 
     def render_image(self, params, pose, intrinsics, rays, occ_grid=None):
-        if occ_grid is None:
-            return self._render_image(params, pose, intrinsics, rays)
-        return self._render_image_occ(params, pose, intrinsics, rays, occ_grid)
+        return self._render_image(params, pose, intrinsics, rays, occ_grid)
