@@ -110,3 +110,32 @@ def test_semantic_nerf_shapes_and_ranges(rng):
     p = variables["params"]
     assert "encoder" in p and "sigma_net" in p and "color_net" in p
     assert "semantics_net" in p
+
+
+def test_hash_grad_mass_and_stochastic_unbiasedness(rng):
+    """The bf16 forward must still produce EXACT f32 gradient mass (custom
+    VJP; autodiff-through-bf16 loses ~20%), and the stochastic single-corner
+    backward must correlate strongly with it."""
+    from ucsa_neural_rendering_tpu.models.hash_encoding import (
+        hash_encode_stochastic_grad)
+
+    spec = make_spec(n_levels=2, base_resolution=4, per_level_scale=2.0,
+                     log2_hashmap_size=8)
+    table = jnp.asarray(rng.normal(size=(spec.table_size, 2)).astype(
+        np.float32)) * 0.01
+    n = 20000
+    x = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+
+    g = jax.grad(lambda t: jnp.sum(hash_encode(t, x, spec).astype(
+        jnp.float32)))(table)
+    # sum of trilinear weights == 1 per (point, level) → total mass = N*L*F
+    assert abs(float(jnp.sum(g)) - n * 2 * 2) < 1.0
+
+    gs = jax.grad(lambda t: jnp.sum(hash_encode_stochastic_grad(
+        t, x, spec).astype(jnp.float32)))(table)
+    assert abs(float(jnp.sum(gs)) - n * 2 * 2) < 1.0
+    gf = np.asarray(g).ravel()
+    gsr = np.asarray(gs).ravel()
+    mask = np.abs(gf) > 1e-8
+    corr = np.corrcoef(gf[mask], gsr[mask])[0, 1]
+    assert corr > 0.9, corr

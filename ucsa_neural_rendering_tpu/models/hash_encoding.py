@@ -22,6 +22,7 @@ Design notes (TPU-first):
 
 import math
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -133,17 +134,8 @@ def packed_indices_weights(x01: jnp.ndarray, spec: HashGridSpec):
     return jnp.stack(idx_all, axis=1), jnp.stack(w_all, axis=1)
 
 
-def hash_encode(table: jnp.ndarray, x01: jnp.ndarray, spec: HashGridSpec,
-                compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """table: [table_size, F]; x01: [N, 3] in [0,1] → [N, L*F] features.
-
-    All L levels' 8-corner lookups are packed into ONE gather over the
-    concatenated table — XLA gather on TPU has a large per-op overhead, so
-    one [N*L*8]-row gather beats L separate ones by a wide margin. The
-    gathered features and trilinear blend run in bf16 (tcnn stores its hash
-    tables in fp16; fp32 master params live in the optimizer), halving the
-    dominant [N, L, 8, F] intermediate.
-    """
+def _hash_encode_raw(table: jnp.ndarray, x01: jnp.ndarray, spec: HashGridSpec,
+                     compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     n = x01.shape[0]
     idx, w = packed_indices_weights(x01, spec)  # [N, L, 8]
     corner_feats = jnp.take(table.astype(compute_dtype), idx.reshape(-1),
@@ -153,13 +145,109 @@ def hash_encode(table: jnp.ndarray, x01: jnp.ndarray, spec: HashGridSpec,
     return feats.reshape(n, spec.n_levels * spec.n_features)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _hash_encode_f32grad(table, x01, spec: HashGridSpec):
+    return _hash_encode_raw(table, x01, spec)
+
+
+def _hef_fwd(table, x01, spec):
+    return _hash_encode_raw(table, x01, spec), x01
+
+
+def _hef_bwd(spec, x01, g):
+    """Exact trilinear backward with F32 scatter accumulation. Autodiff
+    through the bf16 forward would scatter-accumulate in bf16, silently
+    losing ~20% of gradient mass once per-entry sums exceed bf16 precision
+    (measured: grad total 62.6k vs the exact 80k on a 20k-point probe)."""
+    n = x01.shape[0]
+    idx, w = packed_indices_weights(x01, spec)           # [N, L, 8]
+    g = g.reshape(n, spec.n_levels, 1, spec.n_features).astype(jnp.float32)
+    contrib = (w[..., None] * g).reshape(-1, spec.n_features)
+    grad_table = jnp.zeros((spec.table_size, spec.n_features),
+                           jnp.float32).at[idx.reshape(-1)].add(contrib)
+    return grad_table, jnp.zeros_like(x01)
+
+
+_hash_encode_f32grad.defvjp(_hef_fwd, _hef_bwd)
+
+
+def hash_encode(table: jnp.ndarray, x01: jnp.ndarray, spec: HashGridSpec,
+                compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """table: [table_size, F]; x01: [N, 3] in [0,1] → [N, L*F] features.
+
+    All L levels' 8-corner lookups are packed into ONE gather over the
+    concatenated table — XLA gather on TPU has a large per-op overhead, so
+    one [N*L*8]-row gather beats L separate ones by a wide margin. The
+    gathered features and trilinear blend run in bf16 (tcnn stores its hash
+    tables in fp16; fp32 master params live in the optimizer). The backward
+    is a custom VJP that recomputes indices/weights and scatter-accumulates
+    in F32 (see _hef_bwd).
+    """
+    if compute_dtype == jnp.bfloat16:
+        return _hash_encode_f32grad(table, x01, spec)
+    return _hash_encode_raw(table, x01, spec, compute_dtype)
+
+
+def _corner_uniform(x01: jnp.ndarray, n_levels: int) -> jnp.ndarray:
+    """Deterministic per-(point, level) uniform in [0,1) from the position
+    bits — used to pick a stochastic gradient corner without threading PRNG
+    keys through the model. Positions vary every step (jittered ray
+    sampling), so these act as fresh draws across steps."""
+    bits = jax.lax.bitcast_convert_type(x01.astype(jnp.float32), jnp.uint32)
+    h = (bits[:, 0] * np.uint32(_PRIMES[1])) ^ \
+        (bits[:, 1] * np.uint32(_PRIMES[2])) ^ \
+        (bits[:, 2] * np.uint32(0x9E3779B9))
+    lvl = jnp.arange(n_levels, dtype=jnp.uint32) * np.uint32(0x85EBCA6B)
+    h = h[:, None] ^ lvl[None, :]
+    h = (h ^ (h >> 15)) * np.uint32(0x2C1B3C6D)
+    h = h ^ (h >> 12)
+    return (h >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_encode_stochastic_grad(table, x01, spec: HashGridSpec):
+    """hash_encode with an UNBIASED single-corner backward: the table
+    cotangent scatters each (point, level) gradient to ONE corner drawn with
+    probability equal to its trilinear weight (E[update] equals the full
+    8-corner scatter). Cuts backward scatter rows 8x — the train-step
+    bottleneck on TPU (scatter ~85 ns/row; see PERFORMANCE.md). Forward is
+    bit-identical to hash_encode."""
+    return hash_encode(table, x01, spec)
+
+
+def _hesg_fwd(table, x01, spec):
+    return hash_encode(table, x01, spec), x01
+
+
+def _hesg_bwd(spec, res, g):
+    x01 = res
+    tab_shape = (spec.table_size, spec.n_features)
+    n = x01.shape[0]
+    idx, w = packed_indices_weights(x01, spec)          # [N, L, 8]
+    u = _corner_uniform(x01, spec.n_levels)             # [N, L)
+    cdf = jnp.cumsum(w, axis=-1)                        # trilinear w sums to 1
+    corner = jnp.sum((u[..., None] >= cdf).astype(jnp.int32), axis=-1)
+    corner = jnp.clip(corner, 0, 7)
+    chosen = jnp.take_along_axis(idx, corner[..., None], axis=-1)[..., 0]
+    g = g.reshape(n, spec.n_levels, spec.n_features).astype(jnp.float32)
+    grad_table = jnp.zeros(tab_shape, jnp.float32).at[
+        chosen.reshape(-1)].add(g.reshape(-1, spec.n_features))
+    return grad_table, jnp.zeros_like(x01)
+
+
+hash_encode_stochastic_grad.defvjp(_hesg_fwd, _hesg_bwd)
+
+
 class HashGridEncoding(nn.Module):
     """Flax module owning the hash table parameter.
 
     Init: uniform(-1e-4, 1e-4), tcnn's default for hash grids.
+    stochastic_grad=True uses the unbiased single-corner backward (8x fewer
+    scatter rows; see hash_encode_stochastic_grad).
     """
     spec: HashGridSpec
     param_dtype: jnp.dtype = jnp.float32
+    stochastic_grad: bool = False
 
     @nn.compact
     def __call__(self, x01: jnp.ndarray) -> jnp.ndarray:
@@ -168,4 +256,6 @@ class HashGridEncoding(nn.Module):
             lambda key, shape: jax.random.uniform(
                 key, shape, self.param_dtype, minval=-1e-4, maxval=1e-4),
             (self.spec.table_size, self.spec.n_features))
+        if self.stochastic_grad:
+            return hash_encode_stochastic_grad(table, x01, self.spec)
         return hash_encode(table, x01, self.spec)

@@ -62,6 +62,12 @@ class SemanticNeRF(nn.Module):
     hidden_dim_semantics: int = 64
     sh_degree: int = 4
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # unbiased single-corner table gradients (8x fewer backward scatter
+    # rows; see models/hash_encoding.py). Default ON: measured 4.9x step
+    # speedup AND better 120-step convergence than exact trilinear grads
+    # (34.2 vs 21.9 dB on the synthetic fixture). Set False for exact
+    # reference-parity gradients.
+    stochastic_table_grad: bool = True
 
     def setup(self):
         spec = make_spec(
@@ -73,7 +79,8 @@ class SemanticNeRF(nn.Module):
                 self.bound, self.n_levels,
                 base_resolution=self.base_resolution),
         )
-        self.encoder = HashGridEncoding(spec)
+        self.encoder = HashGridEncoding(
+            spec, stochastic_grad=self.stochastic_table_grad)
         self.sigma_net = _FusedStyleMLP(self.hidden_dim, self.num_layers - 1,
                                         1 + self.geo_feat_dim,
                                         self.compute_dtype)

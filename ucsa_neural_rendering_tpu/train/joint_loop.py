@@ -232,7 +232,8 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
             bound=float(n.get("bound", 4.0)),
             num_semantic_classes=num_classes,
             n_levels=int(n.get("n_levels", 16)),
-            log2_hashmap_size=int(n.get("log2_hashmap_size", 19)))
+            log2_hashmap_size=int(n.get("log2_hashmap_size", 19)),
+            stochastic_table_grad=bool(n.get("stochastic_table_grad", True)))
         if "n_rays" in n:
             trainer_kwargs.setdefault("n_rays", int(n["n_rays"]))
     trainer = JointTrainer(exp, image_hw=output_size, num_classes=num_classes,
