@@ -1,0 +1,98 @@
+"""Label decoding formats: RGBA probability-packed, uint16 MAPPED, and the
+ScanNetNGP image-source modes."""
+
+import os
+
+import imageio.v2 as imageio
+import numpy as np
+import pandas as pd
+import pytest
+
+from ucsa_neural_rendering_tpu.data import LabelLoaderAuto
+
+
+@pytest.fixture
+def scannet_root(tmp_path):
+    root = str(tmp_path)
+    pd.DataFrame({
+        "id": [1, 2, 7, 100],
+        "nyu40id": [5, 2, 40, 11],
+        "raw_category": ["a", "b", "c", "d"],
+    }).to_csv(os.path.join(root, "scannetv2-labels.combined.tsv"), sep="\t",
+              index=False)
+    return root
+
+
+def test_mapped_uint16(scannet_root, tmp_path):
+    raw = np.array([[1, 2], [7, 100]], np.uint16)
+    p = str(tmp_path / "raw.png")
+    imageio.imwrite(p, raw)
+    loader = LabelLoaderAuto(root_scannet=scannet_root)
+    label, method = loader.get(p)
+    assert method == "MAPPED"
+    np.testing.assert_array_equal(label, [[5, 2], [40, 11]])
+
+
+def test_rgba_prob_packed(scannet_root, tmp_path):
+    """RGBA 16-bit: per channel low 10 bits = prob*1023, bits 10+ = class.
+    Decoded label = argmax class + 1, floored to 0 under confidence."""
+    h, w = 2, 2
+    img = np.zeros((h, w, 4), np.uint16)
+
+    def pack(cls, prob):
+        return (cls << 10) | int(prob * 1023)
+
+    # pixel (0,0): class 3 @ 0.9 beats class 1 @ 0.5
+    img[0, 0, 0] = pack(3, 0.9)
+    img[0, 0, 1] = pack(1, 0.5)
+    # pixel (0,1): all low confidence (~0.004)
+    img[0, 1, 0] = pack(2, 0.004)
+    # pixel (1,0): single class 39 @ 1.0
+    img[1, 0, 0] = pack(39, 1.0)
+    p = str(tmp_path / "rgba.png")
+    # PIL can't write 16-bit RGBA; cv2 can (expects BGRA channel order)
+    import cv2
+    cv2.imwrite(p, img[..., [2, 1, 0, 3]])
+
+    loader = LabelLoaderAuto(root_scannet=scannet_root, confidence=0.1)
+    label, method = loader.get(p)
+    assert method == "RGBA"
+    assert label[0, 0] == 4   # class 3 + 1
+    assert label[0, 1] == 0   # below confidence floor
+    assert label[1, 0] == 40  # class 39 + 1
+
+    probs = loader.get_probs(p)
+    assert probs.shape == (h, w, 40)
+    assert abs(probs[0, 0, 3] - 0.9) < 2e-3
+    assert abs(probs[0, 0, 1] - 0.5) < 2e-3
+
+
+def test_scannet_ngp_half_mode(tmp_path):
+    from ucsa_neural_rendering_tpu.data import ScanNetNGP
+    from ucsa_neural_rendering_tpu.data.synthetic import \
+        write_synthetic_scene_dir
+
+    root = str(tmp_path / "scans")
+    scene = write_synthetic_scene_dir(root, "scene0000_00", n_frames=5,
+                                      H=24, W=32)
+    # fake nerf renders = copies of gt
+    import shutil
+
+    import cv2
+    for sub, src in (("nerf_image", "color_scaled"),
+                     ("nerf_label", "label_scaled")):
+        os.makedirs(os.path.join(scene, "prev", sub))
+        for f in os.listdir(os.path.join(scene, src)):
+            stem = f.split(".")[0]
+            dst = os.path.join(scene, "prev", sub, stem + ".png")
+            if sub == "nerf_image":
+                cv2.imwrite(dst, cv2.imread(os.path.join(scene, src, f)))
+            else:
+                shutil.copy(os.path.join(scene, src, f), dst)
+
+    ds = ScanNetNGP(root=root, scene_list=["scene0000_00"], mode="train",
+                    train_image="half", train_label="nerf",
+                    prev_exp_name="prev", output_size=(24, 32), seed=1)
+    img, label, ori = ds[0]
+    assert img.shape == (24, 32, 3)
+    assert label.min() >= -1 and label.max() < 40

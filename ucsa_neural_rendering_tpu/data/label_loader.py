@@ -16,8 +16,23 @@ channels without materializing the 40-class volume).
 
 import os
 
-import imageio.v2 as imageio
 import numpy as np
+
+
+def _read_label_image(path: str) -> np.ndarray:
+    """Depth-preserving image read. imageio/PIL silently downconverts 16-bit
+    RGBA PNGs to 8-bit, destroying the probability packing — cv2 with
+    IMREAD_UNCHANGED keeps the uint16 payload (channels reordered BGR(A) →
+    RGB(A) to match the packing convention)."""
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        import imageio.v2 as imageio
+        return imageio.imread(path)
+    if img.ndim == 3 and img.shape[2] >= 3:
+        order = [2, 1, 0] + ([3] if img.shape[2] == 4 else [])
+        img = img[:, :, order]
+    return img
 
 
 class LabelLoaderAuto:
@@ -40,7 +55,7 @@ class LabelLoaderAuto:
         return mapping
 
     def get(self, path: str):
-        img = imageio.imread(path)
+        img = _read_label_image(path)
         if img.ndim == 3:
             if img.shape[2] != 4:
                 raise ValueError(f"unknown label format {img.shape} at {path}")
@@ -67,7 +82,7 @@ class LabelLoaderAuto:
 
     def get_probs(self, path: str) -> np.ndarray:
         """Full HxWx40 probability volume of an RGBA-packed label."""
-        img = imageio.imread(path)
+        img = _read_label_image(path)
         assert img.ndim == 3 and img.shape[2] == 4
         h, w, _ = img.shape
         chans = img[:, :, :3].astype(np.uint16)

@@ -216,6 +216,7 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     val_scene_list = val_scene_list or exp.get("val_scenes")
     output_size = tuple(exp.get("output_size", (240, 320)))
     num_classes = exp["model"]["num_classes"]
+    test_render_cfg = None
     if render_cfg is None and "renderer" in exp:
         # optional renderer block in the experiment YAML (extension over the
         # reference's config surface; defaults match the reference's 256+256)
@@ -224,7 +225,15 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
             num_steps=int(r.get("num_steps", 256)),
             upsample_steps=int(r.get("upsample_steps", 256)),
             max_ray_batch=int(r.get("max_ray_batch", 4096)))
+        if "test_num_steps" in r:
+            test_render_cfg = RenderConfig(
+                num_steps=int(r["test_num_steps"]),
+                upsample_steps=int(r.get("test_upsample_steps",
+                                         r["test_num_steps"])),
+                max_ray_batch=int(r.get("max_ray_batch", 4096)))
     trainer_kwargs = dict(trainer_kwargs or {})
+    if test_render_cfg is not None:
+        trainer_kwargs.setdefault("test_render_cfg", test_render_cfg)
     if "nerf" in exp and "nerf_model" not in trainer_kwargs:
         from ..models import SemanticNeRF
         n = exp["nerf"]

@@ -45,13 +45,17 @@ class JointTrainer:
     def __init__(self, exp: dict, image_hw=(240, 320), num_classes=40,
                  render_cfg: RenderConfig | None = None, n_rays=4096,
                  nerf_model: SemanticNeRF | None = None,
-                 seg_model=None):
+                 seg_model=None, test_render_cfg: RenderConfig | None = None):
         self.exp = exp
         self.H, self.W = image_hw
         self.num_classes = num_classes
         self.n_rays = n_rays
         self.fix_nerf = exp.get("fix_nerf", False)
         self.cfg = render_cfg or RenderConfig()
+        # full-frame (test/predict) renders may use their own sample budget
+        # (exp["renderer"]["test_num_steps"]); defaults to the train config,
+        # matching the reference's shared settings
+        self.test_cfg = test_render_cfg or self.cfg
 
         # bound=4 and the hash/MLP geometry follow the reference's joint net
         # (ref :29-35); overridable for tests / other scene scales.
@@ -169,7 +173,8 @@ class JointTrainer:
         rays = get_rays(pose, intrinsics, self.H, self.W)
         out = render_rays_staged(self.nerf_model, {"params": nerf_params},
                                  rays["rays_o"], rays["rays_d"],
-                                 rays["direction_norms"], self.cfg, occ_grid)
+                                 rays["direction_norms"], self.test_cfg,
+                                 occ_grid)
         sem, invalid = normalize_semantics(out["semantics"])
         return {
             "nerf_rgb": out["image"].reshape(self.H, self.W, 3),
