@@ -23,10 +23,12 @@ def test_update_and_lookup_roundtrip():
     grid = update_grid(grid, density_fn, bound=1.0, key=jax.random.key(0),
                        cfg=cfg, chunk=1024)
     # lookup inside occupied half → weight 1; empty half → floor
-    occ_pos = occupancy_at(grid, jnp.array([[0.5, 0.0, 0.0]]), 1.0, cfg)
-    occ_neg = occupancy_at(grid, jnp.array([[-0.5, 0.0, 0.0]]), 1.0, cfg)
+    occ_pos = occupancy_at(grid, jnp.array([[0.5, 0.0, 0.0]]), 1.0,
+                           floor=0.01, density_threshold=0.01)
+    occ_neg = occupancy_at(grid, jnp.array([[-0.5, 0.0, 0.0]]), 1.0,
+                           floor=0.01, density_threshold=0.01)
     assert float(occ_pos[0]) == 1.0
-    assert abs(float(occ_neg[0]) - cfg.floor) < 1e-6
+    assert abs(float(occ_neg[0]) - 0.01) < 1e-6
 
 
 def test_grid_decay():
@@ -36,6 +38,15 @@ def test_grid_decay():
     grid = update_grid(grid, zero_density, 1.0, jax.random.key(0), cfg,
                        chunk=128)
     np.testing.assert_allclose(np.asarray(grid), 0.5)
+
+
+def test_update_grid_non_power_of_two_resolution():
+    cfg = OccupancyConfig(resolution=10, decay=0.5)
+    grid = jnp.zeros((10, 10, 10))
+    density_fn = lambda pts: jnp.ones(pts.shape[:-1])
+    out = update_grid(grid, density_fn, 1.0, jax.random.key(0), cfg,
+                      chunk=256)
+    np.testing.assert_allclose(np.asarray(out), 1.0)
 
 
 def test_init_grid_optimistic():

@@ -178,7 +178,11 @@ class ScanNetNGPJoint:
 
             self.poses.extend(nerf_matrix_to_ngp(p) for p in current_poses)
 
-        self.poses = np.stack(self.poses, axis=0)
+        # divergence from the reference: scenes with < 5 frames yield an
+        # EMPTY val split (the reference's frames[-0:] would leak all frames
+        # into val); an all-empty selection is legal and yields length 0
+        self.poses = (np.stack(self.poses, axis=0) if self.poses
+                      else np.zeros((0, 4, 4), np.float32))
 
     @staticmethod
     def _interpolate_novel_poses(current_poses, gen_img_paths,

@@ -37,7 +37,10 @@ class OccupancyConfig:
     decay: float = 0.62
     update_every: int = 16
     # occupancy weight floor: candidates in "empty" cells keep a small
-    # probability so thin/new geometry can still receive samples
+    # probability so thin/new geometry can still receive samples. NOTE:
+    # SAMPLING uses RenderConfig.occ_floor / occ_density_threshold (the
+    # renderer has no access to this config); these fields remain the
+    # defaults mirrored there.
     floor: float = 0.01
     density_threshold: float = 0.01
 
@@ -58,23 +61,28 @@ def update_grid(grid: jnp.ndarray, density_fn, bound: float, key: jax.Array,
     evaluations, chunked to bound memory.
     """
     r = cfg.resolution
-    chunk = min(chunk, r ** 3)  # r^3 is a power of two → chunk divides it
+    n_cells = r ** 3
+    chunk = min(chunk, n_cells)
     cells = jnp.stack(jnp.meshgrid(jnp.arange(r), jnp.arange(r),
                                    jnp.arange(r), indexing="ij"),
                       axis=-1).reshape(-1, 3).astype(jnp.float32)
     jitter = jax.random.uniform(key, cells.shape)
     xyz = (cells + jitter) / r * (2.0 * bound) - bound
+    pad = (-n_cells) % chunk  # any resolution, not just powers of two
+    if pad:
+        xyz = jnp.concatenate([xyz, jnp.zeros((pad, 3), xyz.dtype)], 0)
 
     def one_chunk(pts):
         return density_fn(pts)
 
     sigmas = jax.lax.map(one_chunk, xyz.reshape(-1, chunk, 3))
-    sigmas = sigmas.reshape(r, r, r)
+    sigmas = sigmas.reshape(-1)[:n_cells].reshape(r, r, r)
     return jnp.maximum(grid * cfg.decay, sigmas)
 
 
 def occupancy_at(grid: jnp.ndarray, xyz: jnp.ndarray, bound: float,
-                 cfg: OccupancyConfig = OccupancyConfig()) -> jnp.ndarray:
+                 floor: float = 0.01,
+                 density_threshold: float = 0.01) -> jnp.ndarray:
     """Occupancy weights in [floor, 1] for points xyz [..., 3]."""
     r = grid.shape[0]
     cell = jnp.clip(((xyz + bound) / (2.0 * bound) * r).astype(jnp.int32),
@@ -82,5 +90,5 @@ def occupancy_at(grid: jnp.ndarray, xyz: jnp.ndarray, bound: float,
     flat = (cell[..., 0] * r + cell[..., 1]) * r + cell[..., 2]
     sigma = jnp.take(grid.reshape(-1), flat.reshape(-1),
                      axis=0).reshape(flat.shape)
-    occ = sigma > cfg.density_threshold
-    return jnp.where(occ, 1.0, cfg.floor)
+    occ = sigma > density_threshold
+    return jnp.where(occ, 1.0, floor)

@@ -42,9 +42,13 @@ class RenderConfig:
     min_near: float = 0.2
     weight_mask_threshold: float = 1e-4
     max_ray_batch: int = 4096
-    # number of occupancy-probe depths per ray when an occupancy grid guides
-    # coarse sample placement (render_rays occ_grid argument)
+    # occupancy-guided coarse placement (render_rays occ_grid argument):
+    # number of probe depths per ray + the sampling floor/threshold (single
+    # source of truth for sampling; OccupancyConfig keeps only grid-EMA
+    # parameters)
     occ_candidates: int = 128
+    occ_floor: float = 0.01
+    occ_density_threshold: float = 0.01
     # rematerialize the MLP/hash-encoding evaluations in the backward pass:
     # the per-sample gather indices + trilinear weights of the hash encoding
     # (~GBs at 4096x512 samples) are recomputed instead of stored, trading
@@ -118,7 +122,8 @@ def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
         n_cand = cfg.occ_candidates
         cand_z = stratified_samples(nears, fars, n_cand, None)
         cand_xyz = rays_o[:, None, :] + rays_d[:, None, :] * cand_z[..., None]
-        w_occ = occupancy_at(occ_grid, cand_xyz, bound)
+        w_occ = occupancy_at(occ_grid, cand_xyz, bound,
+                             cfg.occ_floor, cfg.occ_density_threshold)
         z_mid_cand = 0.5 * (cand_z[..., 1:] + cand_z[..., :-1])
         z_vals = sample_pdf(z_mid_cand, w_occ[..., 1:-1], cfg.num_steps,
                             k_coarse)

@@ -278,17 +278,23 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     nerf_dl = DataLoader(dm["train_nerf"], batch_size=1, shuffle=True,
                          seed=args.seed)
     for epoch in range(args.nerf_train_epoch):
+        epoch_logs, n_batches = {}, 0
         for batch in nerf_dl:
             key, k = jax.random.split(key)
             nerf_state, logs = trainer.nerf_fit_step(nerf_state, seg_state,
                                                      _nerf_batch(batch), k,
                                                      occ_grid)
+            n_batches += 1
+            for n, v in logs.items():
+                epoch_logs[n] = epoch_logs.get(n, 0.0) + v
             occ_step += 1
             if occ_grid is not None and \
                     occ_step % trainer.occ_cfg.update_every == 0:
                 key, k = jax.random.split(key)
                 occ_grid = trainer.update_occupancy(nerf_state, occ_grid, k)
-        logger.log({f"train/{n}": v for n, v in logs.items()}, step=epoch)
+        if n_batches:
+            logger.log({f"train/{n}": float(v) / n_batches
+                        for n, v in epoch_logs.items()}, step=epoch)
         timer.tick("nerf_epoch", epoch=epoch)
 
     # initial nerf quality + seg validation (ref :167-169)
@@ -305,18 +311,24 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     scene_root = os.path.join(env["scannet"], exp["scenes"][-1],
                               exp["exp_name"])
     for epoch in range(args.joint_train_epoch):
+        epoch_logs, n_batches = {}, 0
         for batch_old, batch_new, batch_cl in joint_dl:
             key, k = jax.random.split(key)
             nerf_state, seg_state, logs = trainer.joint_step(
                 nerf_state, seg_state, batch_old, batch_new, batch_cl, k,
                 occ_grid)
+            n_batches += 1
+            for n, v in logs.items():
+                epoch_logs[n] = epoch_logs.get(n, 0.0) + v
             occ_step += 1
             if occ_grid is not None and not exp.get("fix_nerf") and \
                     occ_step % trainer.occ_cfg.update_every == 0:
                 key, k = jax.random.split(key)
                 occ_grid = trainer.update_occupancy(nerf_state, occ_grid, k)
-        logger.log({f"train/{n}": v for n, v in logs.items()},
-                   step=args.nerf_train_epoch + epoch)
+        if n_batches:
+            logger.log({f"train/{n}": float(v) / n_batches
+                        for n, v in epoch_logs.items()},
+                       step=args.nerf_train_epoch + epoch)
         timer.tick("joint_epoch", epoch=epoch)
         if (epoch + 1) % 10 == 0:
             validate_seg(trainer, seg_state, dm["val"],

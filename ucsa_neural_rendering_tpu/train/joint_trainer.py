@@ -71,6 +71,10 @@ class JointTrainer:
         # = false restores the reference's dense stratified placement)
         self.use_occupancy = exp.get("nerf", {}).get("use_occupancy", True)
         self.occ_cfg = OccupancyConfig()
+        # reference-parity knob: the reference applies CE to SOFTMAX outputs
+        # in the joint seg update too (joint_train_lightning_net.py:37,456-458)
+        self.double_softmax = bool(exp.get("parity", {}).get(
+            "double_softmax", False))
 
         self._seg_infer = jax.jit(self._seg_infer_impl,
                                   static_argnames=("update_bn",))
@@ -208,16 +212,19 @@ class JointTrainer:
         return jax.vmap(one)(keys, rgbs, labels)
 
     # ------------------------------------------------------------ seg update
-    def _seg_update_impl(self, seg_state, images, labels):
-        """One seg Adam step on assembled images/labels (ref :456-461)."""
+    def _seg_update_impl(self, seg_state, images, labels, dropout_key):
+        """One seg Adam step on assembled images/labels (ref :456-461);
+        dropout active, matching the reference's train-mode forward."""
         params, batch_stats, opt_state = seg_state
 
         def loss_fn(p):
             out, mutated = self.seg_model.apply(
                 {"params": p, "batch_stats": batch_stats}, images,
-                use_running_average=False, deterministic=True,
+                use_running_average=False, deterministic=False,
+                rngs={"dropout": dropout_key},
                 mutable=["batch_stats"])
-            loss = cross_entropy_ignore(out["out"], labels)
+            loss = cross_entropy_ignore(out["out"], labels,
+                                        self.double_softmax)
             return loss, mutated["batch_stats"]
 
         (loss, new_stats), grads = jax.value_and_grad(
@@ -240,7 +247,7 @@ class JointTrainer:
         intrinsics [B,4], one_m_to_scene_uom [B]. Returns (nerf_state, logs).
         """
         pseudo, _, _ = self.seg_infer(seg_state, batch["img"], update_bn=False)
-        logs = {}
+        acc = {}
         b = batch["img"].shape[0]
         for i in range(b):
             key, k = jax.random.split(key)
@@ -248,10 +255,11 @@ class JointTrainer:
                 nerf_state, batch["img"][i], pseudo[i], batch["depth"][i],
                 batch["pose"][i], batch["intrinsics"][i],
                 batch["one_m_to_scene_uom"][i], k, occ_grid)
-            # keep device scalars; the loop converts once per epoch when it
-            # actually logs (avoids a blocking sync per image)
-            logs = dict(parts)
-        return nerf_state, logs
+            # accumulate device scalars (mean over images); the loop converts
+            # once when it actually logs — no per-image host syncs
+            for k2, v in parts.items():
+                acc[k2] = acc.get(k2, 0.0) + v / b
+        return nerf_state, acc
 
     def joint_step(self, nerf_state, seg_state, batch_old, batch_new,
                    batch_cl, key, occ_grid=None):
@@ -301,7 +309,9 @@ class JointTrainer:
 
         rgb_seg = jnp.concatenate(imgs, 0)
         label_seg = jnp.concatenate(labels, 0)
-        seg_state, seg_loss = self._seg_update(seg_state, rgb_seg, label_seg)
+        key, k = jax.random.split(key)
+        seg_state, seg_loss = self._seg_update(seg_state, rgb_seg, label_seg,
+                                               k)
         logs["loss_seg"] = seg_loss
         return nerf_state, seg_state, logs
 

@@ -25,16 +25,19 @@ from .seg_trainer import SegTrainer, poly_lr_factor
 
 
 def _pad_to(batch, size):
-    """Pad (img, label) leading dim to `size` with ignore labels so shapes
-    stay static and mesh-divisible."""
+    """Pad (img, label) leading dim to `size` so shapes stay static and
+    mesh-divisible. Pads repeat REAL images (wraparound) so BatchNorm batch
+    statistics stay in-distribution — zero images would skew running stats —
+    while pad labels of -1 keep them out of the loss and the confusion
+    matrix."""
     img, label = batch
     n = img.shape[0]
     if n == size:
         return img, label, n
-    pad = size - n
-    img = np.concatenate([img, np.zeros((pad, *img.shape[1:]), img.dtype)], 0)
+    reps = np.arange(size - n) % n
+    img = np.concatenate([img, img[reps]], 0)
     label = np.concatenate(
-        [label, np.full((pad, *label.shape[1:]), -1, label.dtype)], 0)
+        [label, np.full((size - n, *label.shape[1:]), -1, label.dtype)], 0)
     return img, label, n
 
 

@@ -66,7 +66,9 @@ def make_seg_optimizer(cfg_optimizer: dict, lr_key: str = "lr"):
     elif name == "Adadelta":
         make = lambda learning_rate: optax.adadelta(learning_rate)
     elif name == "RMSprop":
-        make = lambda learning_rate: optax.rmsprop(learning_rate, momentum=0.9)
+        # torch.optim.RMSprop defaults: alpha=0.99, eps=1e-8
+        make = lambda learning_rate: optax.rmsprop(
+            learning_rate, decay=0.99, eps=1e-8, momentum=0.9)
     else:
         raise ValueError(f"unknown optimizer {name}")
     return optax.inject_hyperparams(make)(learning_rate=lr)
@@ -96,7 +98,7 @@ class SegTrainer:
             data = NamedSharding(mesh, P("data"))
             self._train_step = jax.jit(
                 self._train_step_impl,
-                in_shardings=((repl, repl, repl), (data, data), repl),
+                in_shardings=((repl, repl, repl), (data, data), repl, repl),
                 out_shardings=((repl, repl, repl), repl, repl),
                 donate_argnums=(0,))
             self._eval_step = jax.jit(
@@ -118,14 +120,15 @@ class SegTrainer:
         return (params, batch_stats, self.tx.init(params))
 
     # --- jitted impls ---
-    def _train_step_impl(self, state, batch, lr):
+    def _train_step_impl(self, state, batch, lr, dropout_key):
         params, batch_stats, opt_state = state
         images, labels = batch
 
         def loss_fn(p):
             out, mutated = self.model.apply(
                 {"params": p, "batch_stats": batch_stats}, images,
-                use_running_average=False, deterministic=True,
+                use_running_average=False, deterministic=False,
+                rngs={"dropout": dropout_key},
                 mutable=["batch_stats"])
             loss = cross_entropy_ignore(out["out"], labels,
                                         self.double_softmax)
@@ -152,11 +155,18 @@ class SegTrainer:
         return self._eval_step_impl(state, images)
 
     # --- public API ---
-    def train_step(self, state, images, labels, lr):
+    def train_step(self, state, images, labels, lr, dropout_key=None):
         """state=(params, batch_stats, opt_state); images [B,H,W,3] in [0,1];
         labels [B,H,W] int32 (-1 ignore); lr scalar (POLY schedule applied by
-        the caller per epoch). Returns (state, loss, confusion_matrix)."""
-        return self._train_step(state, (images, labels), jnp.float32(lr))
+        the caller per epoch). Dropout is ACTIVE during training like the
+        reference's .train() mode; pass dropout_key for reproducibility
+        (auto-derived from a step counter otherwise).
+        Returns (state, loss, confusion_matrix)."""
+        if dropout_key is None:
+            self._auto_step = getattr(self, "_auto_step", 0) + 1
+            dropout_key = jax.random.key(self._auto_step)
+        return self._train_step(state, (images, labels), jnp.float32(lr),
+                                dropout_key)
 
     def eval_step(self, params, batch_stats, images):
         """Returns (argmax preds [B,H,W], logits)."""
