@@ -132,3 +132,46 @@ def test_multi_step_driver_chains_checkpoints(fixture_env):
     # stage_1 consumed stage_0's checkpoint (load_from_checkpoint was set)
     assert exp["general"]["checkpoint_load"].endswith(
         os.path.join("stage_0", "deeplab_ckpt"))
+
+
+def test_joint_step_logs_mean_nerf_loss_over_images(fixture_env):
+    """The per-image NeRF losses in joint_step must be averaged over the
+    batch's images, not overwritten by the last image (the reference logs
+    each image's loss; the epoch mean of per-image means is equivalent)."""
+    import jax
+
+    exp = make_exp()
+    trainer = joint_loop.JointTrainer(exp, image_hw=(H, W),
+                                      num_classes=NUM_CLASSES,
+                                      render_cfg=RENDER_CFG,
+                                      **small_trainer_kwargs())
+
+    b = 2
+    rendered = {"nerf_rgb": jnp.zeros((b, H, W, 3)),
+                "nerf_semantics": jnp.zeros((b, H, W), jnp.int32)}
+    per_image = [1.0, 3.0]
+    calls = {"n": 0}
+
+    def fake_nerf_update(nerf_state, *a, **kw):
+        parts = {"loss_nerf_total": jnp.float32(per_image[calls["n"]])}
+        calls["n"] += 1
+        return nerf_state, parts
+
+    trainer.render_frames = lambda *a, **kw: rendered
+    trainer.seg_infer = lambda seg_state, imgs, update_bn=False: (
+        jnp.zeros((b, H, W), jnp.int32), None, seg_state)
+    trainer._nerf_update = fake_nerf_update
+    trainer._augment_rendered = lambda k, rgbs, labels: (rgbs, labels)
+    trainer._seg_update = lambda s, i, l, k: (s, jnp.float32(0.0))
+
+    batch_new = {"img": np.zeros((b, H, W, 3), np.float32),
+                 "depth": np.ones((b, H, W), np.float32),
+                 "pose": np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)),
+                 "intrinsics": np.tile(np.array(
+                     [20.0, 20.0, W / 2, H / 2], np.float32), (b, 1)),
+                 "one_m_to_scene_uom": np.ones(b, np.float32)}
+    _, _, logs = trainer.joint_step(
+        ("p", "o"), ("sp", "sb", "so"), None, batch_new, None,
+        jax.random.key(0))
+    assert calls["n"] == b
+    assert abs(float(logs["loss_nerf_total"]) - np.mean(per_image)) < 1e-6

@@ -99,3 +99,48 @@ def test_finetune_loop_on_renders(env25k, tmp_path):
     state = finetune_loop.train(exp, env25k, args, model=TinySeg())
     assert os.path.isdir(os.path.join(env25k["results"], "finetune_test",
                                       "deeplab_ckpt"))
+
+
+def _resume_exp(name, max_epochs, resume, clean, env25k):
+    return {
+        "general": {"name": name, "clean_up_folder_if_exists": clean},
+        "model": {"num_classes": 40},
+        "lr_scheduler": {"active": True, "name": "POLY",
+                         "poly_cfg": {"power": 0.9, "max_epochs": 2,
+                                      "target_lr": 1e-6}},
+        "optimizer": {"lr": 1e-3, "name": "Adam"},
+        "trainer": {"max_epochs": max_epochs,
+                    "resume_from_checkpoint": resume},
+        "data_module": {"batch_size": 3, "shuffle": True, "drop_last": False,
+                        "root": env25k["scannet_frames_25k"],
+                        "data_preprocessing": {"split_file": "split.npz"}},
+        "output_size": (H, W),
+    }
+
+
+@pytest.mark.slow
+def test_pretrain_resume_bitmatches_uninterrupted(env25k):
+    """Lightning's resume_from_checkpoint restores optimizer state too
+    (ref scripts/pretrain.py:97-101): a 1-epoch run resumed for a 2nd epoch
+    must produce bit-identical params to an uninterrupted 2-epoch run —
+    which requires persisting Adam moments AND replaying the same shuffle
+    order + dropout keys for epoch 1."""
+    import jax
+    args = argparse.Namespace(seed=0, project_name="t")
+
+    state_a, _ = pretrain_loop.train(
+        _resume_exp("resume_a", 2, False, True, env25k), env25k, args,
+        model=TinySeg())
+    pretrain_loop.train(
+        _resume_exp("resume_b", 1, False, True, env25k), env25k, args,
+        model=TinySeg())
+    state_b, _ = pretrain_loop.train(
+        _resume_exp("resume_b", 2, True, False, env25k), env25k, args,
+        model=TinySeg())
+
+    for part_a, part_b, tag in ((state_a[0], state_b[0], "params"),
+                                (state_a[1], state_b[1], "batch_stats"),
+                                (state_a[2], state_b[2], "opt_state")):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), part_a, part_b)

@@ -51,3 +51,72 @@ def test_nerf_train_step_ray_sharded():
     # a second sharded step runs (state threading works under shardings)
     pm, om, parts2 = tr_mesh.train_step(pm, om, batch, jax.random.key(6))
     assert np.isfinite(float(parts2["loss_nerf_total"]))
+
+
+@pytest.mark.slow
+def test_joint_step_mesh_sharded_matches_single():
+    """The flagship joint_step on the 8-device mesh: rays + render chunks +
+    assembled seg batch sharded on `data`; numerics match the single-device
+    step (same rng path), and state threads through a second step."""
+    from ucsa_neural_rendering_tpu.train import JointTrainer
+
+    mesh = get_mesh()
+    H = W = 16
+    n_dev = mesh.devices.size
+    exp = {"optimizer": {"lr_nerf": 1e-2, "lr_seg": 1e-4, "name": "Adam"},
+           "nerf": {"use_occupancy": False}}
+
+    import flax.linen as nn
+
+    class TinySeg(nn.Module):
+        num_classes: int = 6
+
+        @nn.compact
+        def __call__(self, x, use_running_average=True, deterministic=True):
+            h = nn.Conv(8, (3, 3), padding="SAME")(x)
+            h = nn.BatchNorm(use_running_average=use_running_average,
+                             momentum=0.9)(h)
+            h = nn.relu(h)
+            return {"out": nn.Conv(self.num_classes, (1, 1))(h)}
+
+    def make(m):
+        return JointTrainer(
+            exp, image_hw=(H, W), num_classes=6,
+            render_cfg=RenderConfig(num_steps=8, upsample_steps=8,
+                                    max_ray_batch=H * W),
+            n_rays=16 * n_dev,
+            nerf_model=SemanticNeRF(bound=1.0, num_semantic_classes=6,
+                                    n_levels=4, log2_hashmap_size=10),
+            seg_model=TinySeg(), mesh=m)
+
+    rng = np.random.default_rng(0)
+    b = 2
+    batch_new = {
+        "img": rng.uniform(0, 1, (b, H, W, 3)).astype(np.float32),
+        "depth": np.full((b, H, W), 0.8, np.float32),
+        "pose": np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)),
+        "intrinsics": np.tile(np.array([12.0, 12.0, W / 2, H / 2],
+                                       np.float32), (b, 1)),
+        "one_m_to_scene_uom": np.ones(b, np.float32),
+    }
+    batch_old = {
+        "img": rng.uniform(0, 1, (n_dev - b, H, W, 3)).astype(np.float32),
+        "nerf_label": rng.integers(-1, 6, (n_dev - b, H, W)).astype(np.int32),
+    }
+
+    results = {}
+    for tag, m in (("mesh", mesh), ("single", None)):
+        jt = make(m)
+        ns = jt.init_nerf(jax.random.key(1))
+        ss = jt.init_seg(jax.random.key(2))
+        ns, ss, logs = jt.joint_step(ns, ss, batch_old, batch_new, None,
+                                     jax.random.key(3))
+        results[tag] = (ns, logs)
+
+    lm, ls = results["mesh"][1], results["single"][1]
+    assert abs(float(lm["loss_seg"]) - float(ls["loss_seg"])) < 1e-4
+    assert abs(float(lm["loss_nerf_total"])
+               - float(ls["loss_nerf_total"])) < 1e-4
+    a = jax.tree.leaves(results["mesh"][0][0])[0]
+    bb = jax.tree.leaves(results["single"][0][0])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)

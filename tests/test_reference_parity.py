@@ -1,0 +1,348 @@
+"""Golden-parity tests: JAX ports vs the REFERENCE's own torch math.
+
+The reference implementation at /root/reference runs its NeRF math in plain
+torch (CUDA only for near_far + the dead marching path), so the exact
+functions our kernels must reproduce are importable on CPU with the CUDA
+extension stubbed. Each test loads the reference module by file path (its
+package __init__s pull in unavailable deps like pytorch_lightning /
+torchvision) and asserts the JAX port matches on random inputs:
+
+  * nerf_matrix_to_ngp / get_rays   (ref nr4seg/dataset/ngp_utils.py:7-69)
+  * sample_pdf (det)                (ref nr4seg/nerf/renderer_semantics.py:10-46)
+  * near_far_from_aabb              (ref raymarching.cu:62-126, ported inline)
+  * SemanticNeRFRenderer.run        (ref renderer_semantics.py:121-307):
+    stratified + importance sampling + sort-merge + alpha compositing +
+    depth normalization, end-to-end on an analytic toy field
+  * the 3-part NeRF loss            (ref joint_train_lightning_net.py:201-222)
+  * SemanticsMeter                  (ref nr4seg/utils/metrics.py:13-65)
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+def _load_ref(name, relpath, pre_stub=None):
+    """Import one reference source file WITHOUT executing its package
+    __init__s (those import pytorch_lightning / torchvision, absent here).
+    pre_stub: dict of sys.modules entries to inject first (CUDA ext, trimesh).
+    """
+    if pre_stub:
+        for k, v in pre_stub.items():
+            sys.modules.setdefault(k, v)
+    path = os.path.join(REF, relpath)
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _near_far_torch(rays_o, rays_d, aabb, min_near=0.2):
+    """Line-by-line port of kernel_near_far_from_aabb
+    (ref raymarching.cu:62-126; min_near default 0.2 from the python wrapper
+    raymarching.py). Used both as the golden for ops/aabb.py and as the stub
+    behind the reference renderer's `raymarching.near_far_from_aabb` call."""
+    inv = 1.0 / rays_d
+    t0 = (aabb[:3] - rays_o) * inv
+    t1 = (aabb[3:] - rays_o) * inv
+    near = torch.minimum(t0, t1).amax(-1)
+    far = torch.maximum(t0, t1).amin(-1)
+    miss = near > far
+    fmax = torch.finfo(rays_o.dtype).max
+    near = torch.where(miss, torch.full_like(near, fmax), near)
+    far = torch.where(miss, torch.full_like(far, fmax), far)
+    near = torch.clamp(near, min=min_near)
+    return near, far
+
+
+@pytest.fixture(scope="module")
+def ref_ngp_utils():
+    return _load_ref("ref_ngp_utils", "nr4seg/dataset/ngp_utils.py")
+
+
+@pytest.fixture(scope="module")
+def ref_renderer():
+    ray_mod = types.ModuleType("ref_raymarching_inner")
+    ray_mod.near_far_from_aabb = _near_far_torch
+    ray_pkg = types.ModuleType("ref_raymarching")
+    ray_pkg.raymarching = ray_mod
+    # renderer_semantics does `from .raymarching import raymarching`; loading
+    # it by file under a fake package name lets us pre-seed that submodule
+    pkg = types.ModuleType("refnerf")
+    pkg.__path__ = [os.path.join(REF, "nr4seg/nerf")]
+    sys.modules["refnerf"] = pkg
+    sys.modules["refnerf.raymarching"] = ray_pkg
+    sys.modules["refnerf.raymarching.raymarching"] = ray_mod
+    sys.modules.setdefault("trimesh", types.ModuleType("trimesh"))
+    path = os.path.join(REF, "nr4seg/nerf/renderer_semantics.py")
+    spec = importlib.util.spec_from_file_location("refnerf.renderer_semantics",
+                                                  path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["refnerf.renderer_semantics"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# --------------------------------------------------------------- ray geometry
+
+def test_nerf_matrix_to_ngp_matches_reference(ref_ngp_utils):
+    from ucsa_neural_rendering_tpu.data.rays import nerf_matrix_to_ngp
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :] = rng.normal(size=(3, 4)).astype(np.float32)
+        np.testing.assert_array_equal(nerf_matrix_to_ngp(pose),
+                                      ref_ngp_utils.nerf_matrix_to_ngp(pose))
+
+
+def test_get_rays_matches_reference(ref_ngp_utils):
+    from ucsa_neural_rendering_tpu.data.rays import get_rays
+    H, W = 12, 17
+    rng = np.random.default_rng(1)
+    # a rotation-ish pose (orthonormalized) + translation
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = q.astype(np.float32)
+    pose[:3, 3] = rng.normal(size=3).astype(np.float32)
+    intr = np.array([23.0, 27.0, W / 2 - 0.3, H / 2 + 0.2], np.float32)
+
+    ref = ref_ngp_utils.get_rays(torch.from_numpy(pose)[None],
+                                 torch.from_numpy(intr), H, W)
+    mine = get_rays(jnp.asarray(pose), jnp.asarray(intr), H, W)
+    np.testing.assert_allclose(np.asarray(mine["rays_o"]),
+                               ref["rays_o"][0].numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mine["rays_d"]),
+                               ref["rays_d"][0].numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mine["direction_norms"]),
+                               ref["direction_norms"][0, :, 0].numpy(),
+                               atol=1e-6)
+
+
+# ------------------------------------------------------------------ sampling
+
+def test_sample_pdf_det_matches_reference(ref_renderer):
+    from ucsa_neural_rendering_tpu.ops.sampling import sample_pdf
+    rng = np.random.default_rng(2)
+    N, T, S = 7, 31, 24
+    bins = np.sort(rng.uniform(0.2, 4.0, size=(N, T)).astype(np.float32), -1)
+    weights = rng.uniform(0.0, 1.0, size=(N, T - 1)).astype(np.float32)
+    weights[0] = 0.0  # all-empty ray exercises the 1e-5 floor
+    ref = ref_renderer.sample_pdf(torch.from_numpy(bins),
+                                  torch.from_numpy(weights), S,
+                                  det=True).numpy()
+    mine = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights), S,
+                                 key=None))
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_near_far_matches_cuda_port():
+    from ucsa_neural_rendering_tpu.ops.aabb import near_far_from_aabb
+    rng = np.random.default_rng(3)
+    N = 256
+    aabb_np = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+    # origins inside the box (the scene case: camera inside the volume)
+    o = rng.uniform(-0.9, 0.9, size=(N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ref_n, ref_f = _near_far_torch(torch.from_numpy(o), torch.from_numpy(d),
+                                   torch.from_numpy(aabb_np), 0.2)
+    mine_n, mine_f = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d),
+                                        jnp.asarray(aabb_np), 0.2)
+    ref_n, ref_f = ref_n.numpy(), ref_f.numpy()
+    mine_n, mine_f = np.asarray(mine_n), np.asarray(mine_f)
+    # rays exiting the box closer than min_near: the CUDA kernel leaves an
+    # INVERTED interval (far < clamped near, descending z — degenerate); our
+    # port clamps far to near, collapsing the interval (documented in
+    # ops/aabb.py). Parity holds on all well-formed rays.
+    ok = ref_f >= ref_n
+    assert ok.sum() > 0.9 * N
+    np.testing.assert_allclose(mine_n[ok], ref_n[ok], atol=1e-5)
+    np.testing.assert_allclose(mine_f[ok], ref_f[ok], atol=1e-5)
+    np.testing.assert_allclose(mine_f[~ok], mine_n[~ok], atol=1e-6)
+
+
+# --------------------------------------------- full renderer pipeline golden
+
+def _toy_sigma_np(x):
+    # smooth positive density with spatial structure
+    return 1.5 * (1.0 / (1.0 + np.exp(-3.0 * x[..., 0]))) + \
+        0.8 * np.exp(-4.0 * (x[..., 1] ** 2)) + 0.05
+
+
+def _toy_rgb_np(g, d):
+    return 1.0 / (1.0 + np.exp(-(g + 0.5 * d)))
+
+
+def _toy_sem_np(g, C):
+    feats = [np.sin((i + 1) * g[..., i % 3]) + 1.01 for i in range(C)]
+    return np.stack(feats, axis=-1)
+
+
+NUM_SEM = 6
+
+
+def test_renderer_run_matches_reference_end_to_end(ref_renderer):
+    """Deterministic 16+16 render of an analytic field through BOTH
+    pipelines: the reference's SemanticNeRFRenderer.run (stratified →
+    importance resample → sort-merge → masked alpha compositing → z-depth)
+    and our render_rays. Importance sampling is pinned to det mode on the
+    reference side (it hardcodes det=False; randomness is the only
+    divergence)."""
+
+    class ToyRef(ref_renderer.SemanticNeRFRenderer):
+
+        def __init__(self):
+            super().__init__(bound=1, cuda_ray=False, density_scale=1,
+                             num_semantic_classes=NUM_SEM)
+
+        def density(self, x):
+            return {"sigma": torch.from_numpy(
+                _toy_sigma_np(x.numpy())).unsqueeze(-1).float(),
+                "geo_feat": x}
+
+        def color(self, x, d, mask=None, sigma=None, geo_feat=None):
+            return torch.from_numpy(
+                _toy_rgb_np(geo_feat.numpy(), d.numpy())).float()
+
+        def semantics(self, x, d, mask=None, sigma=None, geo_feat=None):
+            return torch.from_numpy(
+                _toy_sem_np(geo_feat.numpy(), NUM_SEM)).float()
+
+    class ToyJax:
+        bound = 1.0
+
+        def apply(self, variables, *args, method=None):
+            if method == "density":
+                x = args[0]
+                return jnp.asarray(_toy_sigma_np(np.asarray(x))), x
+            if method == "color":
+                d, g = args
+                return jnp.asarray(_toy_rgb_np(np.asarray(g), np.asarray(d)))
+            if method == "semantics":
+                return jnp.asarray(_toy_sem_np(np.asarray(args[0]), NUM_SEM))
+            raise ValueError(method)
+
+    # pin the reference's importance resampling to det (it hardcodes
+    # det=False inside run(); det is the only way to compare numerics)
+    orig_pdf = ref_renderer.sample_pdf
+    ref_renderer.sample_pdf = lambda b, w, n, det=False: orig_pdf(
+        b, w, n, det=True)
+    try:
+        rng = np.random.default_rng(4)
+        N = 64
+        o = rng.uniform(-0.5, 0.5, size=(N, 3)).astype(np.float32)
+        d = rng.normal(size=(N, 3)).astype(np.float32)
+        norms = np.linalg.norm(d, axis=-1)
+        d /= norms[..., None]
+        dnorms = (1.0 + rng.uniform(0, 0.4, size=N)).astype(np.float32)
+
+        ref_model = ToyRef()
+        with torch.no_grad():
+            ref_out = ref_model.run(torch.from_numpy(o)[None],
+                                    torch.from_numpy(d)[None],
+                                    torch.from_numpy(dnorms)[None, :, None],
+                                    num_steps=16, upsample_steps=16,
+                                    perturb=False)
+
+        from ucsa_neural_rendering_tpu.ops.renderer import (RenderConfig,
+                                                            render_rays)
+        cfg = RenderConfig(num_steps=16, upsample_steps=16, min_near=0.2,
+                           remat=False)
+        mine = render_rays(ToyJax(), {}, jnp.asarray(o), jnp.asarray(d),
+                           jnp.asarray(dnorms), None, cfg, None)
+
+        np.testing.assert_allclose(np.asarray(mine["image"]),
+                                   ref_out["image"][0].numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(mine["semantics"]),
+                                   ref_out["semantics"][0].numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(mine["depth"]),
+                                   ref_out["depth"][0].numpy(), atol=2e-4)
+    finally:
+        ref_renderer.sample_pdf = orig_pdf
+
+
+# ------------------------------------------------------------------- losses
+
+def test_nerf_losses_match_reference_math():
+    """Transcription golden of forward_nerf_train's loss block
+    (ref joint_train_lightning_net.py:201-222; the module itself imports
+    pytorch_lightning/torchvision, unavailable here): MSE(rgb) +
+    0.04 * NLL(log renormalized semantics, ignore -1) +
+    0.1 * L1(depth/uom on gt!=0), with zero-mass rays forced to ignore."""
+    from ucsa_neural_rendering_tpu.train.nerf_trainer import nerf_losses
+
+    rng = np.random.default_rng(5)
+    N, C = 97, 8
+    pred_rgb = rng.uniform(0, 1, size=(N, 3)).astype(np.float32)
+    gt_rgb = rng.uniform(0, 1, size=(N, 3)).astype(np.float32)
+    sem_mass = rng.uniform(0, 1, size=(N, C)).astype(np.float32)
+    sem_mass[:5] = 0.0  # zero-mass rays
+    labels = rng.integers(-1, C, size=N).astype(np.int32)
+    pred_depth = rng.uniform(0.1, 5, size=N).astype(np.float32)
+    gt_depth = rng.uniform(0, 5, size=N).astype(np.float32)
+    gt_depth[::7] = 0.0
+    uom = np.float32(1.7)
+
+    # --- reference math in torch (cited lines) ---
+    t_sem = torch.from_numpy(sem_mass.copy())[None]          # [B=1, N, C]
+    t_lab = torch.from_numpy(labels.astype(np.int64))[None]
+    invalid = torch.sum(t_sem, dim=-1) == 0
+    t_sem[invalid] = 1
+    t_sem = t_sem / torch.sum(t_sem, dim=-1, keepdim=True)
+    t_lab[invalid] = -1
+    loss_color = torch.nn.MSELoss(reduction="none")(
+        torch.from_numpy(pred_rgb), torch.from_numpy(gt_rgb)).mean()
+    logsem = torch.log(t_sem + 1e-15).permute(0, 2, 1)
+    loss_sem = torch.nn.NLLLoss(ignore_index=-1, reduction="none")(
+        logsem, t_lab).mean()
+    t_pd = torch.from_numpy(pred_depth)
+    t_gd = torch.from_numpy(gt_depth)
+    loss_depth = torch.nn.L1Loss(reduction="none")(
+        t_pd[t_gd != 0] / uom, t_gd[t_gd != 0]).mean(-1)
+    ref_total = (loss_color + 0.04 * loss_sem + 0.1 * loss_depth).item()
+
+    outputs = {"image": jnp.asarray(pred_rgb),
+               "semantics": jnp.asarray(sem_mass),
+               "depth": jnp.asarray(pred_depth)}
+    total, parts = nerf_losses(outputs, jnp.asarray(gt_rgb),
+                               jnp.asarray(labels), jnp.asarray(gt_depth),
+                               jnp.float32(uom), C)
+    assert abs(float(parts["loss_nerf_rgb"]) - loss_color.item()) < 1e-6
+    assert abs(float(parts["loss_nerf_semantics"]) - loss_sem.item()) < 1e-5
+    assert abs(float(parts["loss_depth"]) - loss_depth.item()) < 1e-6
+    assert abs(float(total) - ref_total) < 1e-5
+
+
+# -------------------------------------------------------------------- meter
+
+def test_semantics_meter_matches_reference():
+    sklearn = pytest.importorskip("sklearn")  # noqa: F841
+    ref_metrics = _load_ref("ref_metrics", "nr4seg/utils/metrics.py")
+    if not hasattr(np, "float"):  # removed alias used at metrics.py:52
+        np.float = float  # noqa: NPY001
+
+    from ucsa_neural_rendering_tpu.metrics import SemanticsMeter
+    rng = np.random.default_rng(6)
+    C = 9
+    ref_meter = ref_metrics.SemanticsMeter(C)
+    my_meter = SemanticsMeter(C)
+    for _ in range(3):
+        truths = rng.integers(-1, C - 2, size=(2, 40, 30))  # classes 7,8 absent
+        preds = rng.integers(0, C, size=(2, 40, 30))
+        ref_meter.update(torch.from_numpy(preds), torch.from_numpy(truths))
+        my_meter.update(jnp.asarray(preds), jnp.asarray(truths))
+    ref_res = ref_meter.measure()
+    my_res = my_meter.measure()
+    for a, b in zip(my_res, ref_res):
+        assert abs(float(a) - float(b)) < 1e-9

@@ -88,3 +88,86 @@ def test_depth_is_zdepth(tiny_model):
     d = np.asarray(out["depth"])
     ratio = d * np.asarray(dn)
     np.testing.assert_allclose(ratio, ratio[0], rtol=1e-5)
+
+
+class _WallModel:
+    """Analytic opaque wall at z > 0.3 (duck-typed SemanticNeRF)."""
+    bound = 1.0
+
+    def apply(self, variables, *args, method=None):
+        if method == "density":
+            x = args[0]
+            return jnp.where(x[:, 2] > 0.3, 80.0, 0.0), x
+        if method == "color":
+            d, g = args
+            return jax.nn.sigmoid(g)
+        if method == "semantics":
+            g = args[0]
+            return jax.nn.softmax(
+                jnp.stack([g[:, 0], g[:, 1], g[:, 2], -g[:, 0]], -1))
+        raise ValueError(method)
+
+
+def test_early_stop_render_matches_full():
+    """Early-termination render: saturated rays keep the cheap stage-1
+    result (≈ full render once transmittance is gone); alive rays are
+    compacted and re-rendered at the full budget (== full render exactly,
+    same deterministic sampling)."""
+    from dataclasses import replace
+    from ucsa_neural_rendering_tpu.ops.renderer import render_rays_early_stop
+
+    model = _WallModel()
+    n_wall, n_empty = 48, 16
+    o = jnp.tile(jnp.array([[0.05, -0.05, -0.5]]), (n_wall + n_empty, 1))
+    d_wall = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n_wall, 1))
+    d_empty = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n_empty, 1))
+    d = jnp.concatenate([d_wall, d_empty], 0)
+    # make wall rays distinct (slight x tilt), renormalized
+    tilt = jnp.linspace(-0.3, 0.3, n_wall + n_empty)[:, None]
+    d = d + jnp.concatenate([tilt, jnp.zeros_like(tilt),
+                             jnp.zeros_like(tilt)], -1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dn = jnp.ones((n_wall + n_empty,))
+
+    # occupancy grid for the wall: early_stop's production pairing (stage-1
+    # samples concentrate inside occupied cells, so the saturated rays'
+    # cheap result lands on the surface)
+    from ucsa_neural_rendering_tpu.ops.occupancy import (OccupancyConfig,
+                                                         update_grid)
+    grid = update_grid(jnp.zeros((32, 32, 32)),
+                       lambda pts: jnp.where(pts[:, 2] > 0.3, 80.0, 0.0),
+                       1.0, jax.random.key(0),
+                       OccupancyConfig(resolution=32), chunk=4096)
+
+    cfg = RenderConfig(num_steps=16, upsample_steps=16)
+    cfg_es = replace(cfg, early_stop=True, stage1_steps=8,
+                     refine_fraction=0.25)  # K = 16 = the alive rays
+    full = render_rays(model, {}, o, d, dn, None, cfg, grid)
+    es = render_rays_early_stop(model, {}, o, d, dn, cfg_es, grid)
+
+    # alive (empty-space) rays got the identical full budget
+    for k in full:
+        np.testing.assert_allclose(np.asarray(es[k][n_wall:]),
+                                   np.asarray(full[k][n_wall:]), atol=1e-5)
+    # saturated rays: stage-1 result is equivalent up to sample placement
+    np.testing.assert_allclose(np.asarray(es["image"][:n_wall]),
+                               np.asarray(full["image"][:n_wall]), atol=0.06)
+    np.testing.assert_allclose(np.asarray(es["depth"][:n_wall]),
+                               np.asarray(full["depth"][:n_wall]), atol=0.06)
+    # saturated rays really did terminate (weight saturated in stage 1)
+    acc = np.asarray(es["semantics"][:n_wall]).sum(-1)
+    assert (acc > 1 - 1e-4).all()
+
+
+def test_early_stop_in_staged_render():
+    from dataclasses import replace
+    model = _WallModel()
+    cfg = RenderConfig(num_steps=8, upsample_steps=8, max_ray_batch=40,
+                       early_stop=True, stage1_steps=4)
+    frames, intr = make_synthetic_scene(1, 8, 13)
+    rays = get_rays(jnp.asarray(frames[0]["pose"]), jnp.asarray(intr), 8, 13)
+    out = render_rays_staged(model, {}, rays["rays_o"], rays["rays_d"],
+                             rays["direction_norms"], cfg)
+    assert out["image"].shape == (104, 3)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v)).all()

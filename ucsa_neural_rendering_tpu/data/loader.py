@@ -45,6 +45,16 @@ class DataLoader:
         self.prefetch = prefetch
         self._epoch = 0
 
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle epoch. Shuffle order is a pure function of
+        (seed, epoch), so a resumed run that pins the epoch reproduces the
+        exact batch order of an uninterrupted one (torch
+        DistributedSampler.set_epoch's role). Propagates to the dataset when
+        it has per-epoch randomness of its own."""
+        self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
     def __len__(self):
         n = len(self.dataset)
         if self.drop_last:
@@ -65,6 +75,8 @@ class DataLoader:
         return batches
 
     def __iter__(self):
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
         batches = self._index_batches()
         self._epoch += 1
         if self.prefetch <= 0:

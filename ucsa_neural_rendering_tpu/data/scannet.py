@@ -59,27 +59,40 @@ class ScanNet:
         self._data_augmentation = data_augmentation
         self._seed = seed
         self._label_loader = LabelLoaderAuto(root_scannet=root)
-        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
 
     def __len__(self):
         return len(self.image_pths)
 
-    def __getitem__(self, index):
+    def set_epoch(self, epoch: int):
+        """Pin the augmentation epoch: all randomness in __getitem__ is a
+        pure function of (seed, epoch, index), so a resumed run replays the
+        exact augmentation stream of an uninterrupted one (the reference's
+        global-torch-RNG stream is NOT resumable)."""
+        self._epoch = int(epoch)
+
+    def _load(self, index, aug_seed):
         label, _ = self._label_loader.get(self.label_pths[index])
         label = label.astype(np.float32)  # 0..40, 0 = unlabeled
         img = imageio.imread(self.image_pths[index]).astype(np.float32) / 255.0
 
         img, labels = rescale_to_canonical(img, [label], self._output_size)
         train = "train" in self._mode and self._data_augmentation
-        img, labels = _host_augment(
-            int(self._rng.integers(0, 2 ** 31)), img, labels,
-            self._output_size, only_crop=not train)
+        img, labels = _host_augment(aug_seed, img, labels,
+                                    self._output_size, only_crop=not train)
         label = labels[0].astype(np.int64) - 1  # −1 ignore, 0..39 classes
+        return img, label
 
-        # resample-on-reject (ref scannet.py:116-121)
-        if (label != -1).sum() < 10:
-            return self[int(self._rng.integers(0, len(self)))]
-
+    def __getitem__(self, index):
+        rng = np.random.default_rng((self._seed, self._epoch, index))
+        img, label = self._load(index, int(rng.integers(0, 2 ** 31)))
+        # resample-on-reject (ref scannet.py:116-121), bounded + driven by
+        # the same per-(epoch, index) stream so redirect chains can't cycle
+        for _ in range(16):
+            if (label != -1).sum() >= 10:
+                break
+            j = int(rng.integers(0, len(self)))
+            img, label = self._load(j, int(rng.integers(0, 2 ** 31)))
         return (img.astype(np.float32), label.astype(np.int32),
                 img.astype(np.float32))
 

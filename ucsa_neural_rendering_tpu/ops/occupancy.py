@@ -36,13 +36,10 @@ class OccupancyConfig:
     # every 16 steps keeps the amortized overhead ~7% of a train step.
     decay: float = 0.62
     update_every: int = 16
-    # occupancy weight floor: candidates in "empty" cells keep a small
-    # probability so thin/new geometry can still receive samples. NOTE:
-    # SAMPLING uses RenderConfig.occ_floor / occ_density_threshold (the
-    # renderer has no access to this config); these fields remain the
-    # defaults mirrored there.
-    floor: float = 0.01
-    density_threshold: float = 0.01
+    # NOTE: the sampling-side knobs (weight floor for "empty" cells, density
+    # threshold) live on RenderConfig (occ_floor / occ_density_threshold) —
+    # the renderer owns sample placement; this config owns only grid
+    # maintenance (EMA decay + refresh cadence).
 
 
 def init_grid(cfg: OccupancyConfig = OccupancyConfig()) -> jnp.ndarray:

@@ -42,6 +42,19 @@ class RenderConfig:
     min_near: float = 0.2
     weight_mask_threshold: float = 1e-4
     max_ray_batch: int = 4096
+    # early-termination rendering (test/predict path): the TPU-native
+    # equivalent of the reference's alive-ray compaction + T<1e-4 early exit
+    # (ref raymarching.cu:528-864 kernel_march/composite/compact_rays). A
+    # cheap stage-1 pass (stage1_steps occupancy-guided samples) renders all
+    # rays; rays whose residual transmittance stays above term_threshold
+    # (the reference's exact exit criterion) are compacted — top-K by
+    # residual, K = refine_fraction * chunk — and re-rendered at the full
+    # num_steps+upsample_steps budget. Static shapes throughout: top_k +
+    # gather + scatter instead of the CUDA stream compaction.
+    early_stop: bool = False
+    stage1_steps: int = 8
+    refine_fraction: float = 0.25
+    term_threshold: float = 1e-4
     # occupancy-guided coarse placement (render_rays occ_grid argument):
     # number of probe depths per ray + the sampling floor/threshold (single
     # source of truth for sampling; OccupancyConfig keeps only grid-EMA
@@ -67,10 +80,26 @@ def _clip_to_aabb(xyz, aabb):
     return jnp.minimum(jnp.maximum(xyz, aabb[:3]), aabb[3:])
 
 
+def _shard_rays(mesh, *arrays):
+    """Constrain the leading (ray) axis onto the mesh's `data` axis. The
+    per-sample work then runs fully parallel across devices; parameter
+    gradients psum over ICI when taken through this. No-op when the ray
+    count doesn't divide the mesh (shapes are static so this is a trace-time
+    Python check)."""
+    if mesh is None:
+        return arrays
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    n = mesh.devices.size
+    sh = NamedSharding(mesh, P("data"))
+    return tuple(
+        jax.lax.with_sharding_constraint(a, sh) if a.shape[0] % n == 0 else a
+        for a in arrays)
+
+
 def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
                 rays_d: jnp.ndarray, direction_norms: jnp.ndarray,
                 key: jax.Array | None, cfg: RenderConfig = RenderConfig(),
-                occ_grid: jnp.ndarray | None = None):
+                occ_grid: jnp.ndarray | None = None, mesh=None):
     """Render a flat batch of rays.
 
     Args:
@@ -78,10 +107,15 @@ def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
       direction_norms: [N] norms of the unnormalized pixel directions
         (converts distance-along-ray to z-depth, ref :274-277).
       key: PRNG key → perturbed (training) sampling; None → deterministic.
+      mesh: optional jax Mesh with a `data` axis — rays shard across it
+        (params/occ grid replicated), the TPU-native replacement for the
+        reference's single-GPU renders.
 
     Returns dict: image [N,3], semantics [N,C] (unnormalized probability
     mass, sums to accumulated weight), depth [N] (z-depth in scene units).
     """
+    rays_o, rays_d, direction_norms = _shard_rays(
+        mesh, rays_o, rays_d, direction_norms)
     bound = model.bound
     aabb = jnp.array([-bound, -bound, -bound, bound, bound, bound],
                      jnp.float32)
@@ -173,11 +207,60 @@ def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
     return {"image": image, "semantics": semantics, "depth": depth}
 
 
+def render_rays_early_stop(model: SemanticNeRF, variables: Any,
+                           rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                           direction_norms: jnp.ndarray,
+                           cfg: RenderConfig = RenderConfig(),
+                           occ_grid: jnp.ndarray | None = None, mesh=None):
+    """Two-stage early-termination render of one ray batch (deterministic,
+    render-only — training keeps the single-pass differentiable path).
+
+    Stage 1 renders every ray with a small occupancy-guided budget
+    (cfg.stage1_steps, no importance pass). Rays that saturate — residual
+    transmittance 1 - sum(weights) < cfg.term_threshold, the reference's
+    early-exit test (ref raymarching.cu:627-650 `if (T < 1e-4) break`) —
+    keep their stage-1 result: once transmittance is gone, extra samples
+    carry ~zero weight. The top refine_fraction rays by residual (the "alive
+    rays" of ref kernel_compact_rays :821-864, here a static-K top_k) are
+    re-rendered at the full budget and scattered back.
+
+    Cost: N*stage1 + K*(num_steps+upsample) samples instead of
+    N*(num_steps+upsample) — the hash-table gather traffic (the whole cost
+    of a render on TPU, PERFORMANCE.md) drops by the same factor.
+    """
+    from dataclasses import replace
+    n = rays_o.shape[0]
+    cfg_a = replace(cfg, num_steps=cfg.stage1_steps, upsample_steps=0,
+                    early_stop=False)
+    out_a = render_rays(model, variables, rays_o, rays_d, direction_norms,
+                        None, cfg_a, occ_grid, mesh)
+    # accumulated (masked) weight per ray == total semantic mass (semantics
+    # heads output a probability distribution weighted by detached w)
+    acc = jnp.sum(out_a["semantics"], axis=-1)
+    t_rem = 1.0 - acc
+
+    k = max(1, int(round(n * cfg.refine_fraction)))
+    _, inds = jax.lax.top_k(t_rem, k)
+    cfg_b = replace(cfg, early_stop=False)
+    out_b = render_rays(model, variables, rays_o[inds], rays_d[inds],
+                        direction_norms[inds], None, cfg_b, occ_grid, mesh)
+
+    # overwrite only genuinely unsaturated rays (top_k pads with saturated
+    # ones when fewer than K are alive; their stage-1 result already stands)
+    alive = t_rem[inds] > cfg.term_threshold
+    out = {}
+    for name, a in out_a.items():
+        b = out_b[name]
+        sel = alive.reshape(alive.shape + (1,) * (b.ndim - 1))
+        out[name] = a.at[inds].set(jnp.where(sel, b, a[inds]))
+    return out
+
+
 def render_rays_staged(model: SemanticNeRF, variables: Any,
                        rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                        direction_norms: jnp.ndarray,
                        cfg: RenderConfig = RenderConfig(),
-                       occ_grid: jnp.ndarray | None = None):
+                       occ_grid: jnp.ndarray | None = None, mesh=None):
     """Full-frame render: lax.map over fixed-size ray chunks.
 
     Replaces the reference's Python `while head < N` staging loop
@@ -206,7 +289,11 @@ def render_rays_staged(model: SemanticNeRF, variables: Any,
 
     def one_chunk(args):
         o, d, nrm = args
-        return render_rays(model, variables, o, d, nrm, None, cfg, occ_grid)
+        if cfg.early_stop:
+            return render_rays_early_stop(model, variables, o, d, nrm, cfg,
+                                          occ_grid, mesh)
+        return render_rays(model, variables, o, d, nrm, None, cfg, occ_grid,
+                           mesh)
 
     out = jax.lax.map(one_chunk, (ro, rd, dn))
     return {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}

@@ -27,9 +27,14 @@ def save_tree(path: str, tree):
     ckpt.wait_until_finished()
 
 
-def load_tree(path: str):
+def load_tree(path: str, target=None):
+    """Restore a pytree. With `target` (a pytree of like-shaped arrays), the
+    restored tree keeps target's STRUCTURE — required for optax opt_states,
+    whose NamedTuple nesting orbax flattens to dicts otherwise."""
     ckpt = ocp.StandardCheckpointer()
-    return ckpt.restore(os.path.abspath(path))
+    if target is None:
+        return ckpt.restore(os.path.abspath(path))
+    return ckpt.restore(os.path.abspath(path), target)
 
 
 def save_deeplab(path: str, params, batch_stats):

@@ -245,6 +245,9 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
             stochastic_table_grad=bool(n.get("stochastic_table_grad", True)))
         if "n_rays" in n:
             trainer_kwargs.setdefault("n_rays", int(n["n_rays"]))
+    if "mesh" not in trainer_kwargs and jax.device_count() > 1:
+        from ..parallel import get_mesh
+        trainer_kwargs["mesh"] = get_mesh()
     trainer = JointTrainer(exp, image_hw=output_size, num_classes=num_classes,
                            render_cfg=render_cfg, **trainer_kwargs)
     key = jax.random.key(args.seed)
@@ -267,6 +270,9 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     viz_cfg = exp.get("visualizer", {})
     visualizer = Visualizer(os.path.join(model_path, "visu"),
                             store=viz_cfg.get("store", False))
+    # every plot also goes to the experiment logger, like the reference's
+    # wandb image logging (ref visualizer.py:60-81)
+    visualizer.set_logger(logger.log_image)
     visu_n = viz_cfg.get("store_n", {}).get("val", 0) \
         if viz_cfg.get("store", False) else 0
 

@@ -42,18 +42,25 @@ def _pad_to(batch, size):
 
 
 def run_epoch(trainer, state, loader, batch_size, mesh, lr, meter, logger,
-              mode, train=True):
+              mode, train=True, epoch=0, seed=0):
     losses = []
     # pad the batch to a mesh-divisible static size (ignore labels on pads)
     n_mesh = mesh.devices.size if mesh is not None else 1
     target = -(-batch_size // n_mesh) * n_mesh
-    for batch in loader:
+    if train:
+        # shuffle order + dropout keys are pure functions of (seed, epoch, i)
+        # so resume-from-checkpoint replays the identical stream
+        loader.set_epoch(epoch)
+        epoch_key = jax.random.fold_in(jax.random.key(seed), epoch)
+    for i, batch in enumerate(loader):
         img, label = batch[0], batch[1]
         img, label, _ = _pad_to((img, label), target)
         if mesh is not None:
             img, label = shard_batch((img, label), mesh)
         if train:
-            state, loss, conf = trainer.train_step(state, img, label, lr)
+            state, loss, conf = trainer.train_step(
+                state, img, label, lr,
+                dropout_key=jax.random.fold_in(epoch_key, i))
             losses.append(float(loss))
             meter.update_confmat(conf)
         else:
@@ -99,10 +106,15 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
     resume_dir = os.path.join(model_path, "last_ckpt")
     if exp.get("trainer", {}).get("resume_from_checkpoint") and \
             os.path.isdir(resume_dir):
-        tree = load_tree(resume_dir)
-        state = (tree["params"], tree["batch_stats"],
-                 trainer.tx.init(tree["params"]))
-        start_epoch = int(tree.get("epoch", 0))
+        # restore with a structure target so the optax opt_state comes back
+        # as its NamedTuple tree — Lightning's resume_from_checkpoint keeps
+        # optimizer moments too (ref scripts/pretrain.py:97-101); re-initing
+        # Adam here would silently reset them
+        target = {"params": state[0], "batch_stats": state[1],
+                  "opt_state": state[2], "epoch": np.zeros((), np.int64)}
+        tree = load_tree(resume_dir, target=target)
+        state = (tree["params"], tree["batch_stats"], tree["opt_state"])
+        start_epoch = int(tree["epoch"])
 
     sched = exp.get("lr_scheduler", {})
     max_epochs = exp["trainer"]["max_epochs"]
@@ -128,7 +140,8 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
         with maybe_trace(profile and epoch == start_epoch,
                          os.path.join(model_path, "jax_trace")):
             state = run_epoch(trainer, state, train_dl, bs, mesh, lr,
-                              meters["train"], logger, "train", train=True)
+                              meters["train"], logger, "train", train=True,
+                              epoch=epoch, seed=getattr(args, "seed", 123))
         timer.tick("train_epoch", epoch=epoch)
         miou, tacc, macc = meters["train"].measure()
         logger.log({"train/mean_IoU": miou, "train/total_accuracy": tacc,
@@ -147,7 +160,8 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
             save_deeplab(os.path.join(model_path, "best_ckpt"), state[0],
                          state[1])
         save_tree(resume_dir, {"params": state[0], "batch_stats": state[1],
-                               "epoch": epoch + 1})
+                               "opt_state": state[2],
+                               "epoch": np.int64(epoch + 1)})
 
     meters["test"].clear()
     run_epoch(trainer, state, test_dl, bs, mesh, init_lr, meters["test"],

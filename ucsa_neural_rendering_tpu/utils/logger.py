@@ -53,6 +53,28 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_image(self, tag: str, image, step: int | None = None):
+        """Log one HWC uint8 image: PNG under save_dir/images (always) +
+        wandb/TB when attached (the reference pushes every Visualizer plot to
+        its experiment logger, ref visualizer.py:60-81)."""
+        import numpy as np
+        image = np.asarray(image)
+        if step is None:
+            step = self._step
+        safe = tag.replace("/", "_")
+        d = os.path.join(self.save_dir, "images")
+        os.makedirs(d, exist_ok=True)
+        try:
+            import imageio.v2 as imageio
+            imageio.imwrite(os.path.join(d, f"{safe}_step_{step}.png"), image)
+        except Exception:
+            pass
+        if self._tb is not None:
+            self._tb.add_image(tag, image, step, dataformats="HWC")
+        if self._wandb is not None:
+            import wandb
+            self._wandb.log({tag: wandb.Image(image)}, step=step)
+
     def log_hyperparams(self, hparams: dict):
         with open(os.path.join(self.save_dir, "hparams_flat.json"), "w") as f:
             json.dump(hparams, f, indent=2, default=str)
