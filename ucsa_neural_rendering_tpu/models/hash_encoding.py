@@ -156,6 +156,88 @@ def _hef_fwd(table, x01, spec):
 
 _BWD_CHUNK = 262144  # points per backward chunk (bounds idx/weight temps)
 
+# --- scatter-free table-gradient accumulation -------------------------------
+# XLA's TPU scatter-add processes rows serially (~85 ns/row measured) and is
+# the whole cost of the hash backward. The replacement: sort contributions by
+# table index, cut the sorted stream into tiles; a tile of `tile` rows spans
+# a narrow index range (mean gap = table/M entries), so its one-hot matrix
+# against a [tile, R] window is small enough to build in VMEM and multiply on
+# the MXU into a dense [R, F] block, which lands in the accumulator with a
+# contiguous dynamic_update_slice — no scatter anywhere. Measured at
+# occupancy scale (M=4.2M rows, T=6.5M): 105 ms vs 364 ms scatter (3.5x),
+# zero overflow (scripts/bench_scatter_free.py).
+
+_SF_TILE = 1024
+_SF_MAX_RANGE = 32768
+_SF_BACKENDS = ("tpu",)  # tests extend this to exercise the path on CPU
+
+
+def _scatter_free_range(table_size: int, m_rows: int,
+                        tile: int = _SF_TILE) -> int | None:
+    """Static choice of the one-hot window R, or None → use plain scatter.
+
+    R = 4x the mean tile span, clamped to a power of two. The span of a tile
+    is a sum of `tile` near-independent index gaps, so it concentrates hard
+    around its mean (Gamma tail) — 4x headroom makes window overflow
+    statistically impossible. Tiny workloads (huge mean gaps — e.g. module
+    init probes) fall back to the exact scatter."""
+    if jax.default_backend() not in _SF_BACKENDS:
+        # the tile scan + one-hot matmul targets the MXU; on CPU (tests,
+        # virtual meshes) XLA's scatter is the faster primitive
+        return None
+    if m_rows < 4 * tile:
+        return None
+    mean_span = tile * table_size / m_rows
+    r = 1 << max(11, math.ceil(math.log2(4.0 * mean_span)))
+    if r > _SF_MAX_RANGE or r > table_size:
+        return None
+    return r
+
+
+def _accumulate_rows(acc: jnp.ndarray, idx: jnp.ndarray,
+                     contrib: jnp.ndarray, tile: int | None = None):
+    """acc[idx] += contrib, scatter-free when profitable.
+
+    acc: [T, F] f32; idx: [M] int32; contrib: [M, F] f32.
+    """
+    tile = tile or _SF_TILE
+    table_size, n_feat = acc.shape
+    m = idx.shape[0]
+    r = _scatter_free_range(table_size, m, tile)
+    if r is None:
+        return acc.at[idx].add(contrib)
+
+    pad = (-m) % tile
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.full((pad,), table_size - 1, idx.dtype)])
+        contrib = jnp.concatenate(
+            [contrib, jnp.zeros((pad, n_feat), contrib.dtype)])
+    ops = (idx,) + tuple(contrib[:, j] for j in range(n_feat))
+    srt = jax.lax.sort(ops, dimension=0, num_keys=1)
+    si, sc = srt[0], jnp.stack(srt[1:], axis=-1)
+    n_tiles = si.shape[0] // tile
+    si_t = si.reshape(n_tiles, tile)
+    sc_t = sc.reshape(n_tiles, tile, n_feat)
+    base = jnp.minimum(si_t[:, 0], table_size - r)
+    # rows past the window clamp to its edge — never happens at 4x-mean R
+    # (see _scatter_free_range); the clamp keeps the kernel total-mass exact
+    rel = jnp.minimum(si_t - base[:, None], r - 1)
+    iota = jnp.arange(r, dtype=jnp.int32)
+
+    def body(a, xs):
+        relt, ct, bt = xs
+        oh = (relt[:, None] == iota[None, :]).astype(jnp.float32)
+        block = jax.lax.dot_general(
+            oh, ct, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # [R, F]
+        cur = jax.lax.dynamic_slice(a, (bt, 0), (r, n_feat))
+        return jax.lax.dynamic_update_slice(a, cur + block, (bt, 0)), None
+
+    acc, _ = jax.lax.scan(body, acc, (rel, sc_t, base))
+    return acc
+
 
 def _chunked_scatter_bwd(x01, g, spec, per_chunk):
     """Scan point-chunks, accumulating the [T, F] gradient as the carry —
@@ -191,7 +273,7 @@ def _hef_bwd(spec, x01, g):
         gc = gc.reshape(m, spec.n_levels, 1,
                         spec.n_features).astype(jnp.float32)
         contrib = (w[..., None] * gc).reshape(-1, spec.n_features)
-        return acc.at[idx.reshape(-1)].add(contrib), None
+        return _accumulate_rows(acc, idx.reshape(-1), contrib), None
 
     grad_table = _chunked_scatter_bwd(
         x01, g.reshape(x01.shape[0], -1), spec, per_chunk)
@@ -263,8 +345,8 @@ def _hesg_bwd(spec, res, g):
         chosen = jnp.take_along_axis(idx, corner[..., None], axis=-1)[..., 0]
         gc = gc.reshape(m, spec.n_levels,
                         spec.n_features).astype(jnp.float32)
-        return acc.at[chosen.reshape(-1)].add(
-            gc.reshape(-1, spec.n_features)), None
+        return _accumulate_rows(acc, chosen.reshape(-1),
+                                gc.reshape(-1, spec.n_features)), None
 
     grad_table = _chunked_scatter_bwd(
         x01, g.reshape(x01.shape[0], -1), spec, per_chunk)
