@@ -28,6 +28,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_RAYS_PER_SEC = 100_000.0  # tiny-cuda-nn A100 estimate (see above)
+HBM_ROOF_GBPS = 819.0  # TPU v5e HBM bandwidth ceiling
+
+
+def _table_traffic_bytes(n_rays, samples, n_levels, stochastic=True):
+    """Hash-table bytes touched per train step — the roofline accounting
+    (VERDICT r1 #7). Forward: 8 corner rows x n_levels per sample, bf16 F=2
+    (4 B/row). Backward (stochastic): 1 contribution per (point, level),
+    12 B (int32 idx + 2xf32), moved ~5x by the sort + one read/write of the
+    dense blocks. This counts ROW traffic, not cache lines: the measured
+    gather/scatter cost (~7/85 ns/row) is latency-bound, so achieved GB/s
+    vs the 819 GB/s roof quantifies how far from bandwidth-bound we run."""
+    pts = n_rays * samples
+    fwd = pts * n_levels * 8 * 4
+    rows_bwd = pts * n_levels * (1 if stochastic else 8)
+    bwd = rows_bwd * 12 * 5
+    return fwd + bwd
 
 
 def main():
@@ -44,10 +60,13 @@ def main():
     dense = os.environ.get("BENCH_DENSE", "0") == "1"
 
     model = SemanticNeRF(bound=4.0, num_semantic_classes=40)
+    remat = {"0": False, "1": True}.get(os.environ.get("BENCH_REMAT", ""),
+                                        "auto")
     if dense:
-        cfg = RenderConfig(num_steps=256, upsample_steps=256)
+        cfg = RenderConfig(num_steps=256, upsample_steps=256, remat=remat)
     else:
-        cfg = RenderConfig(num_steps=32, upsample_steps=32, occ_candidates=128)
+        cfg = RenderConfig(num_steps=32, upsample_steps=32,
+                           occ_candidates=128, remat=remat)
     tr = NeRFTrainer(model, cfg, lr=1e-2, n_rays=n_rays, image_hw=(H, W))
     params, opt_state = tr.init(jax.random.key(0))
     grid = None if dense else tr.init_occupancy()
@@ -81,11 +100,39 @@ def main():
     rays_per_sec = n_rays * steps / dt
     name = ("nerf_fit_rays_per_sec_per_chip_dense" if dense
             else "nerf_fit_rays_per_sec_per_chip")
+
+    # roofline: achieved hash-table GB/s for the train step vs the HBM roof
+    samples = cfg.num_steps + cfg.upsample_steps
+    step_s = dt / steps
+    hbm_gbps = _table_traffic_bytes(n_rays, samples, 16,
+                                    stochastic=not dense) / step_s / 1e9
+
+    # full-frame render at the test/predict default budget (16+16 under
+    # occupancy; the joint-phase + predict bottleneck, VERDICT r1 #1)
+    extras = {}
+    if not dense and os.environ.get("BENCH_RENDER", "1") == "1":
+        from ucsa_neural_rendering_tpu.data.rays import get_rays
+        rays = get_rays(batch["pose"], batch["intrinsics"], H, W)
+        render = jax.jit(lambda p, g: tr._render_image_impl(
+            p, batch["pose"], batch["intrinsics"], rays, g))
+        import dataclasses
+        tr.cfg = dataclasses.replace(cfg, num_steps=16, upsample_steps=16)
+        out = render(params, grid)
+        _ = float(jnp.sum(out["nerf_rgb"]))
+        t0 = time.perf_counter()
+        out = render(params, grid)
+        _ = float(jnp.sum(out["nerf_rgb"]))
+        extras["render_ms_per_frame"] = round(
+            (time.perf_counter() - t0) * 1000, 1)
+
     print(json.dumps({
         "metric": name,
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "hbm_gbps": round(hbm_gbps, 2),
+        "hbm_roof_frac": round(hbm_gbps / HBM_ROOF_GBPS, 5),
+        **extras,
     }))
 
 

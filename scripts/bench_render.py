@@ -95,30 +95,45 @@ def main():
                                         refine_fraction=0.25),
     }
 
+    from ucsa_neural_rendering_tpu.ops.renderer import normalize_semantics
+
     def render_with(cfg):
-        f = jax.jit(lambda p, g: render_rays_staged(
-            model, {"params": p}, rays["rays_o"], rays["rays_d"],
-            rays["direction_norms"], cfg, g))
-        out = f(params, grid)
-        _ = float(jnp.sum(out["image"]))  # force readback (axon)
+        def impl(p, g):
+            out = render_rays_staged(
+                model, {"params": p}, rays["rays_o"], rays["rays_d"],
+                rays["direction_norms"], cfg, g)
+            sem, _ = normalize_semantics(out["semantics"])
+            return out["image"], jnp.argmax(sem, -1)
+        f = jax.jit(impl)
+        img, lab = f(params, grid)
+        _ = float(jnp.sum(img))  # force readback (axon)
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            out = f(params, grid)
-            _ = float(jnp.sum(out["image"]))
+            img, lab = f(params, grid)
+            _ = float(jnp.sum(img))
             times.append(time.perf_counter() - t0)
-        pred = np.clip(np.asarray(out["image"]).reshape(H, W, 3), 0, 1)
+        pred = np.clip(np.asarray(img).reshape(H, W, 3), 0, 1)
         mse = float(((pred - gt) ** 2).mean())
         psnr = -10 * np.log10(mse)
-        return min(times), psnr
+        return min(times), psnr, np.asarray(lab).reshape(H, W)
 
     results = {}
+    ref_label = None
+    gt_label = fr["label"]
     for name, cfg in configs.items():
-        ms, psnr = render_with(cfg)
+        ms, psnr, label = render_with(cfg)
+        if ref_label is None:
+            ref_label = label  # first config = the 32+32 parity budget
+        agree = float((label == ref_label).mean())
+        gt_acc = float((label == gt_label).mean())
         results[name] = {"ms_per_frame": round(ms * 1000, 1),
-                         "psnr_db": round(psnr, 3)}
-        print(f"{name:18s}  {ms * 1000:8.1f} ms/frame   PSNR {psnr:.2f} dB",
-              flush=True)
+                         "psnr_db": round(psnr, 3),
+                         "label_agree_vs_3232": round(agree, 4),
+                         "label_acc_vs_gt": round(gt_acc, 4)}
+        print(f"{name:18s}  {ms * 1000:8.1f} ms/frame   PSNR {psnr:.2f} dB"
+              f"   label≡32+32 {agree * 100:.2f}%   label=GT "
+              f"{gt_acc * 100:.2f}%", flush=True)
 
     # stage-1 saturation fractions (how many rays terminate early)
     from ucsa_neural_rendering_tpu.ops.renderer import render_rays

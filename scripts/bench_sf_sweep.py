@@ -31,8 +31,12 @@ def main():
         "one_m_to_scene_uom": jnp.float32(1.0),
     }
 
-    def time_step(tile):
+    def time_step(tile, r_forced=None):
         he._SF_TILE = tile
+        if r_forced is not None:
+            he._scatter_free_range = lambda *a, **k: r_forced
+        else:
+            he._scatter_free_range = ORIG_RANGE
         tr = NeRFTrainer(model, cfg, lr=1e-2, n_rays=4096, image_hw=(H, W))
         params, opt_state = tr.init(jax.random.key(0))
         grid = tr.init_occupancy()
@@ -48,9 +52,11 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts) * 1000
 
-    for tile in (512, 1024, 2048, 4096):
-        ms = time_step(tile)
-        r = he._scatter_free_range(6538280, 4194304, tile)
+    global ORIG_RANGE
+    ORIG_RANGE = he._scatter_free_range
+    for tile, r in ((256, 2048), (512, 2048), (512, 4096), (1024, 4096),
+                    (1024, 2048)):
+        ms = time_step(tile, r)
         print(f"tile={tile:5d} r={r}  step {ms:8.1f} ms "
               f"({4096 * 1000 / ms:.0f} rays/s)", flush=True)
 

@@ -176,10 +176,13 @@ def _scatter_free_range(table_size: int, m_rows: int,
                         tile: int = _SF_TILE) -> int | None:
     """Static choice of the one-hot window R, or None → use plain scatter.
 
-    R = 4x the mean tile span, clamped to a power of two. The span of a tile
-    is a sum of `tile` near-independent index gaps, so it concentrates hard
-    around its mean (Gamma tail) — 4x headroom makes window overflow
-    statistically impossible. Tiny workloads (huge mean gaps — e.g. module
+    The one-hot volume (M x R compares) dominates the accumulator's cost,
+    so R hugs the mean tile span: mean + 8 standard deviations, rounded up
+    to a power of two with a 2048 floor (in-step sweep: R=2048 at tile=1024
+    gave 332 ms/step vs 430 ms at R=8192, scripts/bench_sf_sweep.py). A
+    tile's span is a sum of `tile` near-iid index gaps — Gamma-concentrated,
+    so +8 sigma makes window overflow (which only clamps one row's target)
+    statistically unreachable. Tiny workloads (huge mean gaps — e.g. module
     init probes) fall back to the exact scatter."""
     if jax.default_backend() not in _SF_BACKENDS:
         # the tile scan + one-hot matmul targets the MXU; on CPU (tests,
@@ -188,7 +191,8 @@ def _scatter_free_range(table_size: int, m_rows: int,
     if m_rows < 4 * tile:
         return None
     mean_span = tile * table_size / m_rows
-    r = 1 << max(11, math.ceil(math.log2(4.0 * mean_span)))
+    sigma8 = 8.0 * mean_span / math.sqrt(tile)
+    r = 1 << max(11, math.ceil(math.log2(mean_span + sigma8)))
     if r > _SF_MAX_RANGE or r > table_size:
         return None
     return r
@@ -356,24 +360,95 @@ def _hesg_bwd(spec, res, g):
 hash_encode_stochastic_grad.defvjp(_hesg_fwd, _hesg_bwd)
 
 
+def hash_encode_sampled(table: jnp.ndarray, x01: jnp.ndarray,
+                        spec: HashGridSpec,
+                        compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Unbiased single-corner forward: per (point, level), ONE corner drawn
+    with probability equal to its trilinear weight (E[feature] equals the
+    full 8-corner blend). 8x fewer gather rows — for probe workloads that
+    tolerate feature noise (occupancy-grid refresh, where sigma is
+    thresholded anyway). Not differentiable (no VJP); render/train paths
+    keep the exact trilinear forward."""
+    n = x01.shape[0]
+    idx, w = packed_indices_weights(x01, spec)          # [N, L, 8]
+    u = _corner_uniform(x01, spec.n_levels)             # [N, L]
+    cdf = jnp.cumsum(w, axis=-1)
+    corner = jnp.clip(jnp.sum((u[..., None] >= cdf).astype(jnp.int32),
+                              axis=-1), 0, 7)
+    chosen = jnp.take_along_axis(idx, corner[..., None], axis=-1)[..., 0]
+    feats = jnp.take(table.astype(compute_dtype), chosen.reshape(-1), axis=0)
+    return feats.reshape(n, spec.n_levels * spec.n_features)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_encode_stochastic_fwd(table, x01, spec: HashGridSpec):
+    """Fully stochastic single-corner encoding for TRAINING: forward gathers
+    ONE corner per (point, level) drawn w.p. its trilinear weight
+    (E[feature] = trilinear blend), backward scatters the cotangent to the
+    SAME corner (E[grad] = trilinear scatter — the estimator stays unbiased
+    and self-consistent because the draw is a deterministic hash of the
+    position bits, recomputable in backward). 8x fewer table reads AND
+    writes than exact trilinear — the training hot loop is gather-bound
+    (PERFORMANCE.md), so this attacks the remaining forward wall. Feature
+    noise is fresh every step (ray sampling jitters positions), acting like
+    per-level feature dropout. Render/eval paths keep the exact blend."""
+    return hash_encode_sampled(table, x01, spec)
+
+
+def _hesf_fwd(table, x01, spec):
+    return hash_encode_sampled(table, x01, spec), x01
+
+
+def _hesf_bwd(spec, x01, g):
+
+    def per_chunk(acc, xg):
+        xc, gc = xg
+        m = xc.shape[0]
+        idx, w = packed_indices_weights(xc, spec)       # [M, L, 8]
+        u = _corner_uniform(xc, spec.n_levels)          # same draw as fwd
+        cdf = jnp.cumsum(w, axis=-1)
+        corner = jnp.clip(jnp.sum((u[..., None] >= cdf).astype(jnp.int32),
+                                  axis=-1), 0, 7)
+        chosen = jnp.take_along_axis(idx, corner[..., None], axis=-1)[..., 0]
+        gc = gc.reshape(m, spec.n_levels,
+                        spec.n_features).astype(jnp.float32)
+        return _accumulate_rows(acc, chosen.reshape(-1),
+                                gc.reshape(-1, spec.n_features)), None
+
+    grad_table = _chunked_scatter_bwd(
+        x01, g.reshape(x01.shape[0], -1), spec, per_chunk)
+    return grad_table, jnp.zeros_like(x01)
+
+
+hash_encode_stochastic_fwd.defvjp(_hesf_fwd, _hesf_bwd)
+
+
 class HashGridEncoding(nn.Module):
     """Flax module owning the hash table parameter.
 
     Init: uniform(-1e-4, 1e-4), tcnn's default for hash grids.
     stochastic_grad=True uses the unbiased single-corner backward (8x fewer
-    scatter rows; see hash_encode_stochastic_grad).
+    scatter rows; see hash_encode_stochastic_grad). stochastic_fwd=True
+    additionally samples the FORWARD corner (8x fewer gathers too; see
+    hash_encode_stochastic_fwd) — training accel, keep off for parity.
     """
     spec: HashGridSpec
     param_dtype: jnp.dtype = jnp.float32
     stochastic_grad: bool = False
+    stochastic_fwd: bool = False
 
     @nn.compact
-    def __call__(self, x01: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x01: jnp.ndarray, probe: bool = False,
+                 train: bool = False) -> jnp.ndarray:
         table = self.param(
             "table",
             lambda key, shape: jax.random.uniform(
                 key, shape, self.param_dtype, minval=-1e-4, maxval=1e-4),
             (self.spec.table_size, self.spec.n_features))
+        if probe:
+            return hash_encode_sampled(table, x01, self.spec)
+        if train and self.stochastic_fwd:
+            return hash_encode_stochastic_fwd(table, x01, self.spec)
         if self.stochastic_grad:
             return hash_encode_stochastic_grad(table, x01, self.spec)
         return hash_encode(table, x01, self.spec)

@@ -68,6 +68,11 @@ class SemanticNeRF(nn.Module):
     # (34.2 vs 21.9 dB on the synthetic fixture). Set False for exact
     # reference-parity gradients.
     stochastic_table_grad: bool = True
+    # ALSO sample the forward corner on TRAINING density calls (8x fewer
+    # table reads — the step's remaining bottleneck). Unbiased, fresh noise
+    # per step; eval/render paths always use the exact trilinear blend.
+    # Opt-in (convergence measured in scripts/bench_stochfwd.py).
+    stochastic_fwd: bool = False
 
     def setup(self):
         spec = make_spec(
@@ -80,7 +85,8 @@ class SemanticNeRF(nn.Module):
                 base_resolution=self.base_resolution),
         )
         self.encoder = HashGridEncoding(
-            spec, stochastic_grad=self.stochastic_table_grad)
+            spec, stochastic_grad=self.stochastic_table_grad,
+            stochastic_fwd=self.stochastic_fwd)
         self.sigma_net = _FusedStyleMLP(self.hidden_dim, self.num_layers - 1,
                                         1 + self.geo_feat_dim,
                                         self.compute_dtype)
@@ -92,14 +98,27 @@ class SemanticNeRF(nn.Module):
                                             self.num_semantic_classes,
                                             self.compute_dtype)
 
-    def density(self, x):
-        """x: [N, 3] in [-bound, bound] → (sigma [N] fp32, geo_feat [N, 15])."""
+    def density(self, x, train: bool = False):
+        """x: [N, 3] in [-bound, bound] → (sigma [N] fp32, geo_feat [N, 15]).
+
+        train=True marks a training-step call: with stochastic_fwd enabled
+        the encoder then samples one corner per level instead of blending
+        eight (eval/render calls always blend exactly)."""
         x01 = (x + self.bound) / (2.0 * self.bound)
-        h = self.encoder(x01)
+        h = self.encoder(x01, train=train)
         h = self.sigma_net(h)
         sigma = trunc_exp(h[..., 0])
         geo_feat = h[..., 1:]
         return sigma, geo_feat
+
+    def density_probe(self, x):
+        """Cheap density estimate for occupancy-grid refresh: single-corner
+        sampled encoding (8x fewer table reads; unbiased features, noise
+        tolerated because the grid thresholds sigma). Same sigma MLP."""
+        x01 = (x + self.bound) / (2.0 * self.bound)
+        h = self.encoder(x01, probe=True)
+        h = self.sigma_net(h)
+        return trunc_exp(h[..., 0])
 
     def color(self, d, geo_feat):
         """d: [N, 3] unit dirs; geo_feat: [N, 15] → rgb [N, 3] in (0, 1).

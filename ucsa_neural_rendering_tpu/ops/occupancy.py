@@ -36,6 +36,16 @@ class OccupancyConfig:
     # every 16 steps keeps the amortized overhead ~7% of a train step.
     decay: float = 0.62
     update_every: int = 16
+    # rotating partial refresh: each update re-probes 1/refresh_slabs of the
+    # grid (a contiguous x-slab selected by a traced index — one compiled
+    # variant) while the whole grid decays. Cuts the refresh's density-pass
+    # cost by the slab count; occupied cells survive the extra staleness
+    # because sigma >> threshold (0.62^4 of a wall's sigma is still far
+    # above 0.01). instant-ngp's partial grid updates, TPU-static.
+    refresh_slabs: int = 4
+    # probe densities through the single-corner sampled encoding (8x fewer
+    # table reads; see models/hash_encoding.py hash_encode_sampled)
+    probe_sampled: bool = True
     # NOTE: the sampling-side knobs (weight floor for "empty" cells, density
     # threshold) live on RenderConfig (occ_floor / occ_density_threshold) —
     # the renderer owns sample placement; this config owns only grid
@@ -51,21 +61,32 @@ def init_grid(cfg: OccupancyConfig = OccupancyConfig()) -> jnp.ndarray:
 
 def update_grid(grid: jnp.ndarray, density_fn, bound: float, key: jax.Array,
                 cfg: OccupancyConfig = OccupancyConfig(),
-                chunk: int = 262144) -> jnp.ndarray:
+                chunk: int = 262144,
+                slab_index: jax.Array | int | None = None) -> jnp.ndarray:
     """EMA-update the grid with fresh densities at jittered cell centers.
 
-    density_fn: [M, 3] → sigma [M]. One full-grid refresh = RES³ density
-    evaluations, chunked to bound memory.
+    density_fn: [M, 3] → sigma [M]. With slab_index (traced scalar is fine),
+    only cells in the slab_index-th of cfg.refresh_slabs contiguous x-slabs
+    are re-probed (the whole grid still decays); None refreshes everything.
     """
     r = cfg.resolution
     n_cells = r ** 3
-    chunk = min(chunk, n_cells)
+    n_slabs = cfg.refresh_slabs if slab_index is not None else 1
+    assert r % n_slabs == 0, "resolution must divide refresh_slabs"
+    slab_cells = n_cells // n_slabs
     cells = jnp.stack(jnp.meshgrid(jnp.arange(r), jnp.arange(r),
                                    jnp.arange(r), indexing="ij"),
                       axis=-1).reshape(-1, 3).astype(jnp.float32)
+    offset = 0
+    if slab_index is not None:
+        offset = jnp.asarray(slab_index, jnp.int32) * slab_cells
+        cells = jax.lax.dynamic_slice(cells, (offset, 0), (slab_cells, 3))
     jitter = jax.random.uniform(key, cells.shape)
     xyz = (cells + jitter) / r * (2.0 * bound) - bound
-    pad = (-n_cells) % chunk  # any resolution, not just powers of two
+
+    n_probe = xyz.shape[0]
+    chunk = min(chunk, n_probe)
+    pad = (-n_probe) % chunk  # any resolution, not just powers of two
     if pad:
         xyz = jnp.concatenate([xyz, jnp.zeros((pad, 3), xyz.dtype)], 0)
 
@@ -73,8 +94,14 @@ def update_grid(grid: jnp.ndarray, density_fn, bound: float, key: jax.Array,
         return density_fn(pts)
 
     sigmas = jax.lax.map(one_chunk, xyz.reshape(-1, chunk, 3))
-    sigmas = sigmas.reshape(-1)[:n_cells].reshape(r, r, r)
-    return jnp.maximum(grid * cfg.decay, sigmas)
+    sigmas = sigmas.reshape(-1)[:n_probe]
+    flat = grid.reshape(-1) * cfg.decay
+    if slab_index is None:
+        return jnp.maximum(flat, sigmas).reshape(r, r, r)
+    cur = jax.lax.dynamic_slice(flat, (offset,), (slab_cells,))
+    flat = jax.lax.dynamic_update_slice(flat, jnp.maximum(cur, sigmas),
+                                        (offset,))
+    return flat.reshape(r, r, r)
 
 
 def occupancy_at(grid: jnp.ndarray, xyz: jnp.ndarray, bound: float,

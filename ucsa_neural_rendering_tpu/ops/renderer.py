@@ -121,8 +121,12 @@ def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
                      jnp.float32)
     n_rays = rays_o.shape[0]
 
+    # key is not None ⇔ training-step render: density may use the sampled
+    # single-corner encoding when the model enables stochastic_fwd
+    is_train = key is not None
+
     def _density(v, pts):
-        return model.apply(v, pts, method="density")
+        return model.apply(v, pts, is_train, method="density")
 
     def _color(v, d, g):
         return model.apply(v, d, g, method="color")

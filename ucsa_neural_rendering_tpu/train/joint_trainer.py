@@ -165,20 +165,27 @@ class JointTrainer:
 
     # ------------------------------------------------------------ nerf update
     def init_occupancy(self):
+        self._occ_slab = 0
         return init_grid(self.occ_cfg) if self.use_occupancy else None
 
-    def _update_grid_impl(self, nerf_params, grid, key):
-        def density_fn(pts):
-            sigma, _ = self.nerf_model.apply({"params": nerf_params}, pts,
-                                             method="density")
-            return sigma
+    def _update_grid_impl(self, nerf_params, grid, key, slab_index):
+        if self.occ_cfg.probe_sampled:
+            density_fn = lambda pts: self.nerf_model.apply(
+                {"params": nerf_params}, pts, method="density_probe")
+        else:
+            def density_fn(pts):
+                sigma, _ = self.nerf_model.apply({"params": nerf_params},
+                                                 pts, method="density")
+                return sigma
         return update_grid(grid, density_fn, self.nerf_model.bound, key,
-                           self.occ_cfg)
+                           self.occ_cfg, slab_index=slab_index)
 
     def update_occupancy(self, nerf_state, grid, key):
         if grid is None:
             return None
-        return self._update_grid(nerf_state[0], grid, key)
+        slab = getattr(self, "_occ_slab", 0) % self.occ_cfg.refresh_slabs
+        self._occ_slab = slab + 1
+        return self._update_grid(nerf_state[0], grid, key, jnp.int32(slab))
 
     def _nerf_update_image_impl(self, nerf_state, image, pseudo_label, depth,
                                 pose, intrinsics, one_m_to_scene_uom, key,

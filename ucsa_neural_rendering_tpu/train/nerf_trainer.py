@@ -122,20 +122,33 @@ class NeRFTrainer:
 
     # --- occupancy state ---
     def init_occupancy(self):
+        self._occ_slab = 0
         return init_grid(self.occ_cfg)
 
-    def _update_grid_impl(self, params, grid, key):
-        def density_fn(pts):
+    def _density_probe_fn(self, params):
+        """Density for grid refresh: sampled-corner probe (8x fewer table
+        reads) unless the config asks for exact."""
+        if self.occ_cfg.probe_sampled:
+            return lambda pts: self.model.apply({"params": params}, pts,
+                                                method="density_probe")
+
+        def exact(pts):
             sigma, _ = self.model.apply({"params": params}, pts,
                                         method="density")
             return sigma
-        return update_grid(grid, density_fn, self.model.bound, key,
-                           self.occ_cfg)
+        return exact
+
+    def _update_grid_impl(self, params, grid, key, slab_index):
+        return update_grid(grid, self._density_probe_fn(params),
+                           self.model.bound, key, self.occ_cfg,
+                           slab_index=slab_index)
 
     def update_occupancy(self, params, grid, key):
         """Refresh the density EMA grid (call every occ_cfg.update_every
-        steps)."""
-        return self._update_grid(params, grid, key)
+        steps). Rotates through refresh_slabs grid slabs."""
+        slab = getattr(self, "_occ_slab", 0) % self.occ_cfg.refresh_slabs
+        self._occ_slab = slab + 1
+        return self._update_grid(params, grid, key, jnp.int32(slab))
 
     # --- jitted impls ---
     def _step_body(self, params, opt_state, batch, key, occ_grid):
