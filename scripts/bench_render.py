@@ -78,39 +78,83 @@ def main():
     rays = get_rays(jnp.asarray(fr["pose"]), jnp.asarray(intr), H, W)
 
     configs = {
-        "32+32 (parity)": RenderConfig(num_steps=32, upsample_steps=32),
-        "16+16 (default)": RenderConfig(num_steps=16, upsample_steps=16),
-        "8+8": RenderConfig(num_steps=8, upsample_steps=8),
-        "es8->16+16 k/4": RenderConfig(num_steps=16, upsample_steps=16,
-                                       early_stop=True, stage1_steps=8,
-                                       refine_fraction=0.25),
-        "es8->32+32 k/4": RenderConfig(num_steps=32, upsample_steps=32,
-                                       early_stop=True, stage1_steps=8,
-                                       refine_fraction=0.25),
+        "32+32 (parity)": RenderConfig(num_steps=32, upsample_steps=32,
+                                       packed_max_entries=0),
+        "16+16 (default)": RenderConfig(num_steps=16, upsample_steps=16,
+                                        packed_max_entries=0),
         "es8->16+16 k/8": RenderConfig(num_steps=16, upsample_steps=16,
                                        early_stop=True, stage1_steps=8,
-                                       refine_fraction=0.125),
-        "es16->32+32 k/4": RenderConfig(num_steps=32, upsample_steps=32,
+                                       refine_fraction=0.125,
+                                       packed_max_entries=0),
+        "32+32 pk23": RenderConfig(num_steps=32, upsample_steps=32,
+                                   packed_max_entries=2 ** 23),
+        "16+16 pk23": RenderConfig(num_steps=16, upsample_steps=16,
+                                   packed_max_entries=2 ** 23),
+        # probe placement ("pp<probe>-><final>"): cheap probe density places
+        # the final exact samples; probe samples are never composited
+        "pp16->16 pk23": RenderConfig(num_steps=16, upsample_steps=0,
+                                      probe_placement=True, num_probe=16,
+                                      packed_max_entries=2 ** 23),
+        "pp32->16 pk23": RenderConfig(num_steps=16, upsample_steps=0,
+                                      probe_placement=True, num_probe=32,
+                                      packed_max_entries=2 ** 23),
+        "pp32->24 pk23": RenderConfig(num_steps=24, upsample_steps=0,
+                                      probe_placement=True, num_probe=32,
+                                      packed_max_entries=2 ** 23),
+        "pp32->32 pk23": RenderConfig(num_steps=32, upsample_steps=0,
+                                      probe_placement=True, num_probe=32,
+                                      packed_max_entries=2 ** 23),
+        "pp64->32 pk23": RenderConfig(num_steps=32, upsample_steps=0,
+                                      probe_placement=True, num_probe=64,
+                                      packed_max_entries=2 ** 23),
+        # early-stop over probe placement: stage-1 = pp(num_probe)->stage1,
+        # alive rays re-render at pp(num_probe)->num_steps
+        "es-pp8->32 k/8": RenderConfig(num_steps=32, upsample_steps=0,
+                                       probe_placement=True, num_probe=16,
+                                       early_stop=True, stage1_steps=8,
+                                       refine_fraction=0.125,
+                                       packed_max_entries=2 ** 23),
+        "es-pp16->32 k/4": RenderConfig(num_steps=32, upsample_steps=0,
+                                        probe_placement=True, num_probe=32,
                                         early_stop=True, stage1_steps=16,
-                                        refine_fraction=0.25),
+                                        refine_fraction=0.25,
+                                        packed_max_entries=2 ** 23),
     }
 
     from ucsa_neural_rendering_tpu.ops.renderer import normalize_semantics
 
-    def render_with(cfg):
-        def impl(p, g):
+    # --- cell-packed render tables: build once per budget, time the build --
+    packed_tables = {}
+
+    def get_packed(max_entries):
+        if max_entries not in packed_tables:
+            pack = jax.jit(lambda p: model.pack_table(p, max_entries))
+            pt = pack(params)
+            _ = float(jnp.sum(pt.data.astype(jnp.float32)))
+            t0 = time.perf_counter()
+            pt = pack(params)
+            _ = float(jnp.sum(pt.data.astype(jnp.float32)))
+            dt = time.perf_counter() - t0
+            print(f"pack(max_entries=2^{int(np.log2(max_entries))}): "
+                  f"n_packed={pt.n_packed}, rows={pt.data.shape[0]:,}, "
+                  f"{dt * 1000:.0f} ms", flush=True)
+            packed_tables[max_entries] = (pt, dt)
+        return packed_tables[max_entries]
+
+    def render_with(cfg, packed=None):
+        def impl(p, g, pt):
             out = render_rays_staged(
                 model, {"params": p}, rays["rays_o"], rays["rays_d"],
-                rays["direction_norms"], cfg, g)
+                rays["direction_norms"], cfg, g, packed=pt)
             sem, _ = normalize_semantics(out["semantics"])
             return out["image"], jnp.argmax(sem, -1)
         f = jax.jit(impl)
-        img, lab = f(params, grid)
+        img, lab = f(params, grid, packed)
         _ = float(jnp.sum(img))  # force readback (axon)
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            img, lab = f(params, grid)
+            img, lab = f(params, grid, packed)
             _ = float(jnp.sum(img))
             times.append(time.perf_counter() - t0)
         pred = np.clip(np.asarray(img).reshape(H, W, 3), 0, 1)
@@ -122,7 +166,10 @@ def main():
     ref_label = None
     gt_label = fr["label"]
     for name, cfg in configs.items():
-        ms, psnr, label = render_with(cfg)
+        packed = None
+        if cfg.packed_max_entries:
+            packed, _ = get_packed(cfg.packed_max_entries)
+        ms, psnr, label = render_with(cfg, packed)
         if ref_label is None:
             ref_label = label  # first config = the 32+32 parity budget
         agree = float((label == ref_label).mean())
@@ -148,6 +195,9 @@ def main():
         results[f"saturated@{s1}"] = round(frac, 4)
         print(f"stage1={s1:3d} samples: {frac * 100:.1f}% rays terminated",
               flush=True)
+
+    for me, (pt, dt) in packed_tables.items():
+        results[f"pack_ms@2^{int(np.log2(me))}"] = round(dt * 1000, 1)
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "render_bench.json"), "w") as f:

@@ -9,8 +9,15 @@ _platform = os.environ.get("UCSA_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # 8 virtual devices time-slice this single-core host: a heavy per-device
+    # program (DeepLab fwd+bwd) can keep some devices from reaching a psum
+    # within XLA:CPU's default 40 s rendezvous termination window, which
+    # aborts the process. Harmless on real multi-core/multi-chip systems.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 # jax may already be imported by pytest plugin discovery, freezing the env
 # defaults — update the live config too (backend must not be initialized yet)

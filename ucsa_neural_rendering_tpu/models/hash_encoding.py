@@ -121,6 +121,64 @@ def _level_indices(x01: jnp.ndarray, res: int, size: int, is_hashed: bool):
     return idx.astype(jnp.int32), w
 
 
+def _level_weights(x01: jnp.ndarray, res: int) -> jnp.ndarray:
+    """[N, 3] → [N, 8] trilinear corner weights for one level (the weight
+    half of _level_indices, without building the index tensor)."""
+    pos = x01.astype(jnp.float32) * res
+    frac = pos - jnp.floor(pos)
+    corners = np.array([[(c >> a) & 1 for a in range(3)] for c in range(8)],
+                       dtype=np.uint32)
+    w = jnp.ones((x01.shape[0], 8), dtype=jnp.float32)
+    for a in range(3):
+        fa = frac[:, a][:, None]
+        w = w * jnp.where(corners[None, :, a] == 1, fa, 1.0 - fa)
+    return w
+
+
+def _level_corner_index(x01: jnp.ndarray, res: int, size: int,
+                        is_hashed: bool, corner: jnp.ndarray) -> jnp.ndarray:
+    """Table index (within the level) of ONE chosen corner per point,
+    computed arithmetically from the corner id — no [N, 8] index tensor and
+    no take_along_axis (which XLA lowers to a second latency-bound gather;
+    it used to make the sampled encodes as expensive per ROW as the exact
+    ones). corner: [N] int32 in [0, 8)."""
+    pos = x01.astype(jnp.float32) * res
+    grid = jnp.floor(pos).astype(jnp.uint32)
+    c = corner.astype(jnp.uint32)
+    cidx = [jnp.minimum(grid[:, a] + ((c >> a) & 1), np.uint32(res))
+            for a in range(3)]
+    if is_hashed:
+        idx = ((cidx[0] * np.uint32(_PRIMES[0]))
+               ^ (cidx[1] * np.uint32(_PRIMES[1]))
+               ^ (cidx[2] * np.uint32(_PRIMES[2]))) % np.uint32(size)
+    else:
+        stride = res + 1
+        idx = (cidx[2] * stride + cidx[1]) * stride + cidx[0]
+    return idx.astype(jnp.int32)
+
+
+def sampled_corner_indices(x01: jnp.ndarray, spec: HashGridSpec,
+                           levels: range | None = None):
+    """Per (point, level): draw ONE corner with probability equal to its
+    trilinear weight (deterministic position-hash uniforms — see
+    _corner_uniform) and return its GLOBAL table index. [N, |levels|] int32.
+    Shared by the sampled forward, the stochastic backward, and the packed
+    probe so every path picks identical corners."""
+    levels = levels if levels is not None else range(spec.n_levels)
+    u = _corner_uniform(x01, spec.n_levels)
+    idx_all = []
+    for lvl in levels:
+        w = _level_weights(x01, spec.resolutions[lvl])
+        cdf = jnp.cumsum(w, axis=-1)
+        corner = jnp.clip(
+            jnp.sum((u[:, lvl, None] >= cdf).astype(jnp.int32), axis=-1),
+            0, 7)
+        idx = _level_corner_index(x01, spec.resolutions[lvl],
+                                  spec.sizes[lvl], spec.hashed[lvl], corner)
+        idx_all.append(idx + spec.offsets[lvl])
+    return jnp.stack(idx_all, axis=1)
+
+
 def packed_indices_weights(x01: jnp.ndarray, spec: HashGridSpec):
     """[N, 3] → (global corner indices [N, L, 8] int32 into the concatenated
     table, trilinear weights [N, L, 8] fp32). One array per quantity across
@@ -341,12 +399,7 @@ def _hesg_bwd(spec, res, g):
     def per_chunk(acc, xg):
         xc, gc = xg
         m = xc.shape[0]
-        idx, w = packed_indices_weights(xc, spec)       # [M, L, 8]
-        u = _corner_uniform(xc, spec.n_levels)          # [M, L)
-        cdf = jnp.cumsum(w, axis=-1)                    # trilinear w sums to 1
-        corner = jnp.sum((u[..., None] >= cdf).astype(jnp.int32), axis=-1)
-        corner = jnp.clip(corner, 0, 7)
-        chosen = jnp.take_along_axis(idx, corner[..., None], axis=-1)[..., 0]
+        chosen = sampled_corner_indices(xc, spec)       # [M, L]
         gc = gc.reshape(m, spec.n_levels,
                         spec.n_features).astype(jnp.float32)
         return _accumulate_rows(acc, chosen.reshape(-1),
@@ -370,12 +423,7 @@ def hash_encode_sampled(table: jnp.ndarray, x01: jnp.ndarray,
     thresholded anyway). Not differentiable (no VJP); render/train paths
     keep the exact trilinear forward."""
     n = x01.shape[0]
-    idx, w = packed_indices_weights(x01, spec)          # [N, L, 8]
-    u = _corner_uniform(x01, spec.n_levels)             # [N, L]
-    cdf = jnp.cumsum(w, axis=-1)
-    corner = jnp.clip(jnp.sum((u[..., None] >= cdf).astype(jnp.int32),
-                              axis=-1), 0, 7)
-    chosen = jnp.take_along_axis(idx, corner[..., None], axis=-1)[..., 0]
+    chosen = sampled_corner_indices(x01, spec)          # [N, L]
     feats = jnp.take(table.astype(compute_dtype), chosen.reshape(-1), axis=0)
     return feats.reshape(n, spec.n_levels * spec.n_features)
 
@@ -404,12 +452,7 @@ def _hesf_bwd(spec, x01, g):
     def per_chunk(acc, xg):
         xc, gc = xg
         m = xc.shape[0]
-        idx, w = packed_indices_weights(xc, spec)       # [M, L, 8]
-        u = _corner_uniform(xc, spec.n_levels)          # same draw as fwd
-        cdf = jnp.cumsum(w, axis=-1)
-        corner = jnp.clip(jnp.sum((u[..., None] >= cdf).astype(jnp.int32),
-                                  axis=-1), 0, 7)
-        chosen = jnp.take_along_axis(idx, corner[..., None], axis=-1)[..., 0]
+        chosen = sampled_corner_indices(xc, spec)       # same draw as fwd
         gc = gc.reshape(m, spec.n_levels,
                         spec.n_features).astype(jnp.float32)
         return _accumulate_rows(acc, chosen.reshape(-1),
@@ -421,6 +464,41 @@ def _hesf_bwd(spec, x01, g):
 
 
 hash_encode_stochastic_fwd.defvjp(_hesf_fwd, _hesf_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def hash_encode_packed_train(table, packed, x01, spec: HashGridSpec,
+                             stochastic: bool):
+    """Differentiable encoding whose FORWARD gathers from the cell-packed
+    relayout (models/packed_table.py — n_packed + 8*(L-n_packed) rows per
+    point instead of 8L) while the BACKWARD writes the table gradient
+    exactly as the unpacked custom VJPs do (recomputed indices/weights, f32
+    accumulation; stochastic=True → unbiased single-corner rows). The packed
+    table is a pure function of `table`, so no gradient flows to it — the
+    caller builds it per step under stop_gradient. Forward output is
+    bit-identical to hash_encode."""
+    from .packed_table import hash_encode_packed
+    return hash_encode_packed(table, packed, x01, spec)
+
+
+def _hept_fwd(table, packed, x01, spec, stochastic):
+    from .packed_table import hash_encode_packed
+    out = hash_encode_packed(table, packed, x01, spec)
+    aux = (jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), packed), x01)
+    return out, aux
+
+
+def _hept_bwd(spec, stochastic, aux, g):
+    packed_shape, x01 = aux
+    bwd = _hesg_bwd if stochastic else _hef_bwd
+    grad_table, grad_x = bwd(spec, x01, g)
+    zero_packed = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), packed_shape)
+    return grad_table, zero_packed, grad_x
+
+
+hash_encode_packed_train.defvjp(_hept_fwd, _hept_bwd)
 
 
 class HashGridEncoding(nn.Module):
@@ -439,12 +517,24 @@ class HashGridEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, x01: jnp.ndarray, probe: bool = False,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False, packed=None) -> jnp.ndarray:
         table = self.param(
             "table",
             lambda key, shape: jax.random.uniform(
                 key, shape, self.param_dtype, minval=-1e-4, maxval=1e-4),
             (self.spec.table_size, self.spec.n_features))
+        if packed is not None and not (train and self.stochastic_fwd):
+            # cell-packed lookups (see models/packed_table.py): one row per
+            # (point, packed level). probe=True additionally single-corner-
+            # samples the unpacked fine levels (placement-quality density at
+            # ~n_levels rows/point). The non-probe path goes through the
+            # train-aware custom VJP so table gradients stay correct if the
+            # caller differentiates (render paths simply never do).
+            from .packed_table import hash_encode_packed_probe
+            if probe:
+                return hash_encode_packed_probe(table, packed, x01, self.spec)
+            return hash_encode_packed_train(table, packed, x01, self.spec,
+                                            self.stochastic_grad)
         if probe:
             return hash_encode_sampled(table, x01, self.spec)
         if train and self.stochastic_fwd:

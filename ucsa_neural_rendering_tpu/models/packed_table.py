@@ -1,0 +1,231 @@
+"""Cell-packed hash-grid tables: 8x fewer gather rows for rendering.
+
+The full-frame render is gather-bound: every (sample, level) lookup costs 8
+table rows of F=2 features, and XLA's TPU gather runs at a flat ~7 ns/row
+for ANY row width from 2 to 128 fp32 values (PERFORMANCE.md primitive
+table). So the per-row payload is the lever: this module precomputes, per
+level, a CELL-packed table whose row `cell_id` holds all 8 corner features
+of that cell ([8*F] values) — one gather row per (sample, level) instead of
+eight, at 8x the memory for the packed levels.
+
+Exactness: packing is a pure relayout of the trained table. For dense
+(collision-free) levels the cell row is a copy of its 8 vertex entries; for
+hashed levels the vertex grid is first expanded by evaluating the spatial
+hash at every vertex (exactly the lookup the unpacked path would do), so a
+packed lookup returns bit-identical corner features. Levels whose vertex
+count exceeds the configured budget stay unpacked (the fine levels of a
+2048-resolution grid would need GBs); the encode below mixes one packed
+gather for the coarse levels with the classic 8-corner gather for the rest.
+
+This is the TPU-native answer to the reference's fused tcnn HashGrid reads
+(ref: nr4seg/nerf/network_tcnn_semantics.py:36-46): where CUDA hides the 8
+scattered reads behind thousands of threads, the TPU wants fewer, wider,
+contiguous rows.
+
+Intended use: RENDERING (no-grad full-frame passes — the joint-phase and
+predict bottleneck). Packing cost is one gather of the vertex grids (~10^7
+rows for an 8M-entry budget), amortized over the 76,800-ray frames that
+follow; trainers cache the packed table per params version.
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hash_encoding import _PRIMES, HashGridSpec, _level_indices
+
+# corner c of a cell offsets axis a by bit (c >> a) & 1 — same order as
+# hash_encoding._level_indices so trilinear weights line up.
+_CORNERS = np.array([[(c >> a) & 1 for a in range(3)] for c in range(8)],
+                    dtype=np.int32)
+
+
+def choose_n_packed(spec: HashGridSpec, max_entries: int) -> int:
+    """Number of leading levels whose res^3 cell count fits max_entries.
+    Resolutions grow monotonically, so packable levels are a prefix."""
+    n = 0
+    for lvl in range(spec.n_levels):
+        if spec.resolutions[lvl] ** 3 > max_entries:
+            break
+        n += 1
+    return n
+
+
+def packed_offsets(spec: HashGridSpec, n_packed: int):
+    """Static row offsets of each packed level in the concatenated packed
+    array, plus the total row count."""
+    offs, total = [], 0
+    for lvl in range(n_packed):
+        offs.append(total)
+        total += spec.resolutions[lvl] ** 3
+    return tuple(offs), total
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PackedTable:
+    """data: [total_cells, 8*F] cell-packed rows for levels [0, n_packed).
+    n_packed is static (pytree aux) so jitted code can specialize on it."""
+    data: jnp.ndarray
+    n_packed: int
+
+    def tree_flatten(self):
+        return (self.data,), self.n_packed
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+
+def _vertex_grid(table: jnp.ndarray, spec: HashGridSpec, lvl: int, dtype):
+    """[res+1, res+1, res+1, F] vertex features of one level, exactly as the
+    unpacked lookup would read them (z-major like the dense index formula in
+    hash_encoding._level_indices)."""
+    res = spec.resolutions[lvl]
+    off = spec.offsets[lvl]
+    size = spec.sizes[lvl]
+    stride = res + 1
+    if not spec.hashed[lvl]:
+        v = jax.lax.dynamic_slice_in_dim(table, off, stride ** 3, axis=0)
+        return v.astype(dtype).reshape(stride, stride, stride, -1)
+    ax = np.arange(stride, dtype=np.uint32)
+    hx = ax * np.uint32(_PRIMES[0])
+    hy = ax * np.uint32(_PRIMES[1])
+    hz = ax * np.uint32(_PRIMES[2])
+    idx = (hz[:, None, None] ^ hy[None, :, None] ^ hx[None, None, :])
+    idx = (idx % np.uint32(size)).astype(np.int32) + off
+    v = jnp.take(table.astype(dtype), jnp.asarray(idx.reshape(-1)), axis=0)
+    return v.reshape(stride, stride, stride, -1)
+
+
+def _cell_pack(v: jnp.ndarray, res: int) -> jnp.ndarray:
+    """[res+1,...,F] vertex grid → [res^3, 8*F] cell rows (corner-major,
+    feature-minor — matches the blend in hash_encode_packed)."""
+    parts = [v[cz:cz + res, cy:cy + res, cx:cx + res, :]
+             for cx, cy, cz in _CORNERS]
+    return jnp.stack(parts, axis=3).reshape(res ** 3, 8 * v.shape[-1])
+
+
+def build_packed_table(table: jnp.ndarray, spec: HashGridSpec,
+                       n_packed: int, dtype=jnp.bfloat16) -> PackedTable:
+    """Relayout levels [0, n_packed) of the trained table into cell rows."""
+    blocks = [
+        _cell_pack(_vertex_grid(table, spec, lvl, dtype),
+                   spec.resolutions[lvl])
+        for lvl in range(n_packed)
+    ]
+    if not blocks:
+        data = jnp.zeros((0, 8 * spec.n_features), dtype)
+    else:
+        data = jnp.concatenate(blocks, axis=0)
+    return PackedTable(data, n_packed)
+
+
+def hash_encode_packed(table: jnp.ndarray, packed: PackedTable,
+                       x01: jnp.ndarray, spec: HashGridSpec,
+                       compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Exact hash-grid encoding using one packed row per (point, level) for
+    the leading packed levels and the classic 8-corner gather for the rest.
+    Bit-identical to hash_encode's forward (same trilinear math in the same
+    dtype); gather rows per point drop from 8*L to n_packed + 8*(L-n)."""
+    n = x01.shape[0]
+    k = packed.n_packed
+    f = spec.n_features
+    offs, _ = packed_offsets(spec, k)
+    pos_f32 = x01.astype(jnp.float32)
+
+    feats = []
+    if k:
+        idx_all, w_all = [], []
+        for i in range(k):
+            res = spec.resolutions[i]
+            pos = pos_f32 * res
+            cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
+            # frac relative to the (clipped) cell: at the x01 == 1.0 edge the
+            # cell clamps to res-1 and frac becomes 1.0, selecting the far
+            # corners — the same vertices the unpacked path's index clamp
+            # (min(cidx, res)) lands on.
+            frac = pos - cell.astype(jnp.float32)
+            idx = ((cell[:, 2] * res + cell[:, 1]) * res + cell[:, 0]
+                   + offs[i])
+            w = jnp.ones((n, 8), jnp.float32)
+            for a in range(3):
+                fa = frac[:, a][:, None]
+                w = w * jnp.where(_CORNERS[None, :, a] == 1, fa, 1.0 - fa)
+            idx_all.append(idx)
+            w_all.append(w)
+        idx = jnp.stack(idx_all, axis=1)                     # [N, K]
+        w = jnp.stack(w_all, axis=1)                         # [N, K, 8]
+        rows = jnp.take(packed.data.astype(compute_dtype),
+                        idx.reshape(-1), axis=0)
+        rows = rows.reshape(n, k, 8, f)
+        feats.append(jnp.sum(rows * w[..., None].astype(compute_dtype),
+                             axis=2))                        # [N, K, F]
+
+    if k < spec.n_levels:
+        idx_all, w_all = [], []
+        for lvl in range(k, spec.n_levels):
+            idx, w = _level_indices(pos_f32, spec.resolutions[lvl],
+                                    spec.sizes[lvl], spec.hashed[lvl])
+            idx_all.append(idx + spec.offsets[lvl])
+            w_all.append(w)
+        idx = jnp.stack(idx_all, axis=1)                     # [N, L-K, 8]
+        w = jnp.stack(w_all, axis=1)
+        corner = jnp.take(table.astype(compute_dtype), idx.reshape(-1),
+                          axis=0).reshape(n, spec.n_levels - k, 8, f)
+        feats.append(jnp.sum(corner * w[..., None].astype(compute_dtype),
+                             axis=2))
+
+    return jnp.concatenate(feats, axis=1).reshape(n, spec.out_dim)
+
+
+def hash_encode_packed_probe(table: jnp.ndarray, packed: PackedTable,
+                             x01: jnp.ndarray, spec: HashGridSpec,
+                             compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Cheap density-probe encoding for sample PLACEMENT: packed levels use
+    the exact one-row cell lookup; unpacked (fine) levels sample a single
+    corner drawn w.p. its trilinear weight (unbiased, like
+    hash_encode_sampled). n_packed + (L - n_packed) rows per point — e.g. 16
+    instead of 128 at pk-through-res-194 — with exact coarse structure and
+    only high-frequency feature noise, which placement (an inverse-CDF draw)
+    tolerates by construction."""
+    n = x01.shape[0]
+    k = packed.n_packed
+    if k == 0:
+        from .hash_encoding import hash_encode_sampled
+        return hash_encode_sampled(table, x01, spec, compute_dtype)
+    if k == spec.n_levels:
+        return hash_encode_packed(table, packed, x01, spec, compute_dtype)
+
+    # packed prefix: exact one-row lookups (same math as hash_encode_packed)
+    offs, _ = packed_offsets(spec, k)
+    pos_f32 = x01.astype(jnp.float32)
+    idx_all, w_all = [], []
+    for i in range(k):
+        res = spec.resolutions[i]
+        pos = pos_f32 * res
+        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
+        frac = pos - cell.astype(jnp.float32)
+        idx_all.append(((cell[:, 2] * res + cell[:, 1]) * res + cell[:, 0])
+                       + offs[i])
+        w = jnp.ones((n, 8), jnp.float32)
+        for a in range(3):
+            fa = frac[:, a][:, None]
+            w = w * jnp.where(_CORNERS[None, :, a] == 1, fa, 1.0 - fa)
+        w_all.append(w)
+    rows = jnp.take(packed.data.astype(compute_dtype),
+                    jnp.stack(idx_all, 1).reshape(-1), axis=0)
+    rows = rows.reshape(n, k, 8, spec.n_features)
+    w = jnp.stack(w_all, 1)
+    coarse = jnp.sum(rows * w[..., None].astype(compute_dtype), axis=2)
+
+    # fine suffix: single sampled corner per (point, level), chosen
+    # arithmetically (no take_along_axis — that is itself a gather)
+    from .hash_encoding import sampled_corner_indices
+    chosen = sampled_corner_indices(x01, spec, range(k, spec.n_levels))
+    fine = jnp.take(table.astype(compute_dtype), chosen.reshape(-1),
+                    axis=0).reshape(n, spec.n_levels - k, spec.n_features)
+
+    return jnp.concatenate([coarse, fine], axis=1).reshape(n, spec.out_dim)

@@ -74,8 +74,10 @@ class SemanticNeRF(nn.Module):
     # Opt-in (convergence measured in scripts/bench_stochfwd.py).
     stochastic_fwd: bool = False
 
-    def setup(self):
-        spec = make_spec(
+    def grid_spec(self):
+        """The static hash-grid geometry (also used unbound, e.g. by
+        pack_table — a plain recomputation, no module state)."""
+        return make_spec(
             n_levels=self.n_levels,
             n_features=self.n_features,
             log2_hashmap_size=self.log2_hashmap_size,
@@ -84,6 +86,9 @@ class SemanticNeRF(nn.Module):
                 self.bound, self.n_levels,
                 base_resolution=self.base_resolution),
         )
+
+    def setup(self):
+        spec = self.grid_spec()
         self.encoder = HashGridEncoding(
             spec, stochastic_grad=self.stochastic_table_grad,
             stochastic_fwd=self.stochastic_fwd)
@@ -98,25 +103,41 @@ class SemanticNeRF(nn.Module):
                                             self.num_semantic_classes,
                                             self.compute_dtype)
 
-    def density(self, x, train: bool = False):
+    def density(self, x, train: bool = False, packed=None):
         """x: [N, 3] in [-bound, bound] → (sigma [N] fp32, geo_feat [N, 15]).
 
         train=True marks a training-step call: with stochastic_fwd enabled
         the encoder then samples one corner per level instead of blending
-        eight (eval/render calls always blend exactly)."""
+        eight (eval/render calls always blend exactly).
+        packed: optional models.packed_table.PackedTable — render paths pass
+        the cell-packed relayout of the trained table (exact, 8x fewer
+        gather rows on the packed levels)."""
         x01 = (x + self.bound) / (2.0 * self.bound)
-        h = self.encoder(x01, train=train)
+        h = self.encoder(x01, train=train, packed=packed)
         h = self.sigma_net(h)
         sigma = trunc_exp(h[..., 0])
         geo_feat = h[..., 1:]
         return sigma, geo_feat
 
-    def density_probe(self, x):
-        """Cheap density estimate for occupancy-grid refresh: single-corner
-        sampled encoding (8x fewer table reads; unbiased features, noise
-        tolerated because the grid thresholds sigma). Same sigma MLP."""
+    def pack_table(self, params, max_entries: int, dtype=jnp.bfloat16):
+        """Build the cell-packed render table from this model's params tree
+        (see models/packed_table.py). max_entries bounds the per-level cell
+        count that gets packed; returns PackedTable (n_packed may be 0)."""
+        from .packed_table import build_packed_table, choose_n_packed
+        spec = self.grid_spec()
+        n_packed = choose_n_packed(spec, max_entries)
+        return build_packed_table(params["encoder"]["table"], spec, n_packed,
+                                  dtype)
+
+    def density_probe(self, x, packed=None):
+        """Cheap density estimate for occupancy-grid refresh and render-time
+        sample placement: single-corner sampled encoding (8x fewer table
+        reads; unbiased features, noise tolerated because consumers
+        threshold or CDF-sample sigma). With a PackedTable, the packed
+        coarse levels read exactly (one row) and only the fine levels are
+        sampled. Same sigma MLP."""
         x01 = (x + self.bound) / (2.0 * self.bound)
-        h = self.encoder(x01, probe=True)
+        h = self.encoder(x01, probe=True, packed=packed)
         h = self.sigma_net(h)
         return trunc_exp(h[..., 0])
 

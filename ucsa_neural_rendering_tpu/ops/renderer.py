@@ -62,6 +62,30 @@ class RenderConfig:
     occ_candidates: int = 128
     occ_floor: float = 0.01
     occ_density_threshold: float = 0.01
+    # cell-packed render tables (models/packed_table.py): levels whose cell
+    # count fits this budget are relaid out so all 8 corner features arrive
+    # in ONE gather row — exact, ~8x memory on those levels, and the frame's
+    # gather-row count (its whole cost on TPU) drops by the packed fraction.
+    # 2^23 packs through res~194 of the bound-4 grid (~340 MB bf16, rows per
+    # sample 128 → 79). 0 disables. Trainers build/cache the PackedTable per
+    # params version and hand it to the render entry points.
+    packed_max_entries: int = 8 * 1024 * 1024
+    # probe-placement rendering (render-only): the coarse density pass runs
+    # with the CHEAP probe encoding (packed levels exact + fine levels
+    # single-corner-sampled, ~n_levels rows/point instead of 8*n_levels) and
+    # is used purely to PLACE the final samples via inverse-CDF importance —
+    # probe samples are never composited. The exact encoding then only pays
+    # for the final num_steps samples. upsample_steps is ignored in this
+    # mode (placement is already importance-driven).
+    probe_placement: bool = False
+    num_probe: int = 16
+    # TRAIN-step packing: rebuild a small cell-packed prefix (levels within
+    # this budget) inside every train step and gather the forward through it
+    # (backward still writes the raw table via the custom VJP —
+    # hash_encode_packed_train). Rebuild cost is one ~budget-row gather;
+    # profitable when the per-step forward reads far more rows than the
+    # pack writes. 0 disables (default until measured on hardware).
+    train_packed_max_entries: int = 0
     # rematerialize the MLP/hash-encoding evaluations in the backward pass:
     # the per-sample gather indices + trilinear weights of the hash encoding
     # (~GBs at 4096x512 samples) are recomputed instead of stored, trading
@@ -99,7 +123,8 @@ def _shard_rays(mesh, *arrays):
 def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
                 rays_d: jnp.ndarray, direction_norms: jnp.ndarray,
                 key: jax.Array | None, cfg: RenderConfig = RenderConfig(),
-                occ_grid: jnp.ndarray | None = None, mesh=None):
+                occ_grid: jnp.ndarray | None = None, mesh=None,
+                packed=None):
     """Render a flat batch of rays.
 
     Args:
@@ -126,7 +151,10 @@ def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
     is_train = key is not None
 
     def _density(v, pts):
-        return model.apply(v, pts, is_train, method="density")
+        # kwarg only when set: test stand-in models densities take (x, train)
+        if packed is None:
+            return model.apply(v, pts, is_train, method="density")
+        return model.apply(v, pts, is_train, packed=packed, method="density")
 
     def _color(v, d, g):
         return model.apply(v, d, g, method="color")
@@ -149,6 +177,49 @@ def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
         k_coarse, k_fine = jax.random.split(key)
     else:
         k_coarse = k_fine = None
+
+    # --- probe placement (render-only fast path; see RenderConfig) ---
+    if cfg.probe_placement and not is_train:
+        if occ_grid is not None:
+            from .occupancy import occupancy_at
+            cand_z = stratified_samples(nears, fars, cfg.occ_candidates, None)
+            cand_xyz = (rays_o[:, None, :]
+                        + rays_d[:, None, :] * cand_z[..., None])
+            w_occ = occupancy_at(occ_grid, cand_xyz, bound,
+                                 cfg.occ_floor, cfg.occ_density_threshold)
+            z_mid_cand = 0.5 * (cand_z[..., 1:] + cand_z[..., :-1])
+            z_probe = sample_pdf(z_mid_cand, w_occ[..., 1:-1], cfg.num_probe,
+                                 None)
+            z_probe = jnp.sort(z_probe, axis=-1)
+        else:
+            z_probe = stratified_samples(nears, fars, cfg.num_probe, None)
+        xyz_p = _clip_to_aabb(
+            rays_o[:, None, :] + rays_d[:, None, :] * z_probe[..., None],
+            aabb)
+        sigma_p = model.apply(variables, xyz_p.reshape(-1, 3), packed,
+                              method="density_probe")
+        sigma_p = sigma_p.reshape(n_rays, cfg.num_probe)
+        w_probe = composite_weights(z_probe, sigma_p, cfg.density_scale)
+        z_mid_p = 0.5 * (z_probe[..., 1:] + z_probe[..., :-1])
+        z_vals = jnp.sort(sample_pdf(z_mid_p, w_probe[:, 1:-1],
+                                     cfg.num_steps, None), axis=-1)
+        xyz = _clip_to_aabb(
+            rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None], aabb)
+        sigma, geo = density_fn(xyz.reshape(-1, 3))
+        sigma = sigma.reshape(n_rays, cfg.num_steps)
+        geo = geo.reshape(n_rays, cfg.num_steps, -1)
+        weights = composite_weights(z_vals, sigma, cfg.density_scale)
+        t_total = cfg.num_steps
+        dirs = jnp.broadcast_to(rays_d[:, None, :], (n_rays, t_total, 3))
+        rgbs = color_fn(dirs.reshape(-1, 3),
+                        geo.reshape(-1, geo.shape[-1])
+                        ).reshape(n_rays, t_total, 3)
+        sems = semantics_fn(geo.reshape(-1, geo.shape[-1])).reshape(
+            n_rays, t_total, -1)
+        image, semantics, depth = composite(weights, z_vals, rgbs, sems,
+                                            direction_norms,
+                                            cfg.weight_mask_threshold)
+        return {"image": image, "semantics": semantics, "depth": depth}
 
     # --- coarse pass ---
     if occ_grid is not None:
@@ -215,7 +286,8 @@ def render_rays_early_stop(model: SemanticNeRF, variables: Any,
                            rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                            direction_norms: jnp.ndarray,
                            cfg: RenderConfig = RenderConfig(),
-                           occ_grid: jnp.ndarray | None = None, mesh=None):
+                           occ_grid: jnp.ndarray | None = None, mesh=None,
+                           packed=None):
     """Two-stage early-termination render of one ray batch (deterministic,
     render-only — training keeps the single-pass differentiable path).
 
@@ -237,7 +309,7 @@ def render_rays_early_stop(model: SemanticNeRF, variables: Any,
     cfg_a = replace(cfg, num_steps=cfg.stage1_steps, upsample_steps=0,
                     early_stop=False)
     out_a = render_rays(model, variables, rays_o, rays_d, direction_norms,
-                        None, cfg_a, occ_grid, mesh)
+                        None, cfg_a, occ_grid, mesh, packed)
     # accumulated (masked) weight per ray == total semantic mass (semantics
     # heads output a probability distribution weighted by detached w)
     acc = jnp.sum(out_a["semantics"], axis=-1)
@@ -247,7 +319,8 @@ def render_rays_early_stop(model: SemanticNeRF, variables: Any,
     _, inds = jax.lax.top_k(t_rem, k)
     cfg_b = replace(cfg, early_stop=False)
     out_b = render_rays(model, variables, rays_o[inds], rays_d[inds],
-                        direction_norms[inds], None, cfg_b, occ_grid, mesh)
+                        direction_norms[inds], None, cfg_b, occ_grid, mesh,
+                        packed)
 
     # overwrite only genuinely unsaturated rays (top_k pads with saturated
     # ones when fewer than K are alive; their stage-1 result already stands)
@@ -264,7 +337,8 @@ def render_rays_staged(model: SemanticNeRF, variables: Any,
                        rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                        direction_norms: jnp.ndarray,
                        cfg: RenderConfig = RenderConfig(),
-                       occ_grid: jnp.ndarray | None = None, mesh=None):
+                       occ_grid: jnp.ndarray | None = None, mesh=None,
+                       packed=None):
     """Full-frame render: lax.map over fixed-size ray chunks.
 
     Replaces the reference's Python `while head < N` staging loop
@@ -295,9 +369,9 @@ def render_rays_staged(model: SemanticNeRF, variables: Any,
         o, d, nrm = args
         if cfg.early_stop:
             return render_rays_early_stop(model, variables, o, d, nrm, cfg,
-                                          occ_grid, mesh)
+                                          occ_grid, mesh, packed)
         return render_rays(model, variables, o, d, nrm, None, cfg, occ_grid,
-                           mesh)
+                           mesh, packed)
 
     out = jax.lax.map(one_chunk, (ro, rd, dn))
     return {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}

@@ -62,8 +62,18 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,),
                                dtype=jnp.float32)
 
-    # searchsorted per ray (vmapped over the ray axis).
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # Inverse-CDF bin lookup. For the bin counts this renderer uses (≤ 513
+    # after the occupancy-candidate CDF), a dense compare-and-count on the
+    # VPU is far cheaper than XLA's searchsorted lowering (a vmapped binary-
+    # search loop — measured ~45 ms per 4096-ray chunk, which made sample
+    # placement ~40% of a full frame; the dense form is sub-ms). Identical
+    # result: side="right" insertion index == count of cdf entries <= u.
+    if cdf.shape[-1] <= 513:
+        inds = jnp.sum((u[..., :, None] >= cdf[..., None, :]).astype(
+            jnp.int32), axis=-1)
+    else:
+        inds = jax.vmap(
+            lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
 

@@ -111,6 +111,10 @@ class JointTrainer:
         self._augment_rendered = jax.jit(self._augment_rendered_impl)
         self._update_grid = jax.jit(self._update_grid_impl,
                                     donate_argnums=(1,))
+        self._pack_table = jax.jit(
+            lambda params: self.nerf_model.pack_table(
+                params, self.test_cfg.packed_max_entries))
+        self._packed_cache = None  # (table array ref, PackedTable)
 
     # ------------------------------------------------------------------- init
     def init_nerf(self, key):
@@ -203,9 +207,15 @@ class JointTrainer:
             rays_o, rays_d, dnorms, gt_rgb, labels, gt_depth)
 
         def loss_fn(p):
+            packed = None
+            if self.cfg.train_packed_max_entries > 0:
+                packed = jax.lax.stop_gradient(self.nerf_model.pack_table(
+                    p, self.cfg.train_packed_max_entries))
+                if packed.n_packed == 0:
+                    packed = None
             out = render_rays(self.nerf_model, {"params": p}, rays_o, rays_d,
                               dnorms, k_render, self.cfg, occ_grid,
-                              mesh=self.mesh)
+                              mesh=self.mesh, packed=packed)
             return nerf_losses(out, gt_rgb, labels, gt_depth,
                                one_m_to_scene_uom, self.num_classes)
 
@@ -216,14 +226,14 @@ class JointTrainer:
 
     # ------------------------------------------------------------- rendering
     def _render_frame_impl(self, nerf_params, pose, intrinsics,
-                           occ_grid=None):
+                           occ_grid=None, packed=None):
         """forward_nerf_test for one frame (ref :225-257): staged full-image
         render + semantics renormalization + argmax."""
         rays = get_rays(pose, intrinsics, self.H, self.W)
         out = render_rays_staged(self.nerf_model, {"params": nerf_params},
                                  rays["rays_o"], rays["rays_d"],
                                  rays["direction_norms"], self.test_cfg,
-                                 occ_grid, mesh=self.mesh)
+                                 occ_grid, mesh=self.mesh, packed=packed)
         sem, invalid = normalize_semantics(out["semantics"])
         return {
             "nerf_rgb": out["image"].reshape(self.H, self.W, 3),
@@ -232,8 +242,31 @@ class JointTrainer:
             "nerf_depth": out["depth"].reshape(self.H, self.W),
         }
 
+    def packed_for(self, nerf_params):
+        """Cell-packed render table for these params (cached per table
+        array — one repack per NeRF update, amortized over the batch's
+        full-frame renders; see models/packed_table.py)."""
+        if self.test_cfg.packed_max_entries <= 0:
+            return None
+        import jax
+        if jax.default_backend() != "tpu":
+            # packing only pays where gathers are the wall; on CPU (tests,
+            # virtual meshes) it just adds compile time and, under load,
+            # lengthens per-device programs between collectives
+            return None
+        table = nerf_params["encoder"]["table"]
+        if self._packed_cache is not None and \
+                self._packed_cache[0] is table:
+            return self._packed_cache[1]
+        packed = self._pack_table(nerf_params)
+        if packed.n_packed == 0:
+            packed = None
+        self._packed_cache = (table, packed)
+        return packed
+
     def _render_frame(self, nerf_params, pose, intrinsics, occ_grid=None):
-        return self._render_frame_jit(nerf_params, pose, intrinsics, occ_grid)
+        return self._render_frame_jit(nerf_params, pose, intrinsics, occ_grid,
+                                      self.packed_for(nerf_params))
 
     def render_frames(self, nerf_params, poses, intrinsics, occ_grid=None):
         """Render B frames sequentially (each internally chunked)."""

@@ -105,6 +105,10 @@ class NeRFTrainer:
         self._render_image = jax.jit(self._render_image_impl)
         self._update_grid = jax.jit(self._update_grid_impl,
                                     donate_argnums=(1,))
+        self._pack_table = jax.jit(
+            lambda params: self.model.pack_table(
+                params, self.cfg.packed_max_entries))
+        self._packed_cache = None  # (table array ref, PackedTable)
 
     def _shard_rays(self, *arrays):
         if self.mesh is None:
@@ -169,8 +173,18 @@ class NeRFTrainer:
             rays_o, rays_d, dnorms, gt_rgb, labels, gt_depth)
 
         def loss_fn(p):
+            packed = None
+            if self.cfg.train_packed_max_entries > 0:
+                # per-step relayout of the coarse levels: forward gathers one
+                # row per (point, packed level); the custom VJP still writes
+                # gradients to the raw table (hash_encode_packed_train)
+                packed = jax.lax.stop_gradient(self.model.pack_table(
+                    p, self.cfg.train_packed_max_entries))
+                if packed.n_packed == 0:
+                    packed = None
             outputs = render_rays(self.model, {"params": p}, rays_o, rays_d,
-                                  dnorms, k_render, self.cfg, occ_grid)
+                                  dnorms, k_render, self.cfg, occ_grid,
+                                  packed=packed)
             return nerf_losses(outputs, gt_rgb, labels, gt_depth,
                                batch["one_m_to_scene_uom"],
                                self.model.num_semantic_classes)
@@ -181,13 +195,14 @@ class NeRFTrainer:
         return params, opt_state, parts
 
     def _render_image_impl(self, params, pose, intrinsics, rays,
-                           occ_grid=None):
+                           occ_grid=None, packed=None):
         """Full-frame deterministic render → rgb [H,W,3], semantic argmax
         [H,W], semantic probs [H,W,C], depth [H,W]
         (ref forward_nerf_test, joint_train_lightning_net.py:225-257)."""
         out = render_rays_staged(self.model, {"params": params},
                                  rays["rays_o"], rays["rays_d"],
-                                 rays["direction_norms"], self.cfg, occ_grid)
+                                 rays["direction_norms"], self.cfg, occ_grid,
+                                 packed=packed)
         sem, invalid = normalize_semantics(out["semantics"])
         pred_sem = jnp.argmax(sem, axis=-1)
         H, W = self.H, self.W
@@ -203,5 +218,29 @@ class NeRFTrainer:
     def train_step(self, params, opt_state, batch, key, occ_grid=None):
         return self._train_step(params, opt_state, batch, key, occ_grid)
 
+    def packed_for(self, params):
+        """Cell-packed render table for these params, cached per table
+        version. The cache holds a reference to the source table array, so
+        an id() match can only mean the same (immutable) buffer — donated /
+        updated params produce a new array and a repack."""
+        if self.cfg.packed_max_entries <= 0:
+            return None
+        import jax
+        if jax.default_backend() != "tpu":
+            # packing only pays where gathers are the wall; on CPU (tests,
+            # virtual meshes) it just adds compile time and, under load,
+            # lengthens per-device programs between collectives
+            return None
+        table = params["encoder"]["table"]
+        if self._packed_cache is not None and \
+                self._packed_cache[0] is table:
+            return self._packed_cache[1]
+        packed = self._pack_table(params)
+        if packed.n_packed == 0:
+            packed = None
+        self._packed_cache = (table, packed)
+        return packed
+
     def render_image(self, params, pose, intrinsics, rays, occ_grid=None):
-        return self._render_image(params, pose, intrinsics, rays, occ_grid)
+        return self._render_image(params, pose, intrinsics, rays, occ_grid,
+                                  self.packed_for(params))
