@@ -107,20 +107,24 @@ def main():
     hbm_gbps = _table_traffic_bytes(n_rays, samples, 16,
                                     stochastic=not dense) / step_s / 1e9
 
-    # full-frame render at the test/predict default budget (16+16 under
-    # occupancy; the joint-phase + predict bottleneck, VERDICT r1 #1)
+    # full-frame render at the test/predict DEFAULT configuration (early-
+    # stop at the train budget + cell-packed tables — what JointTrainer
+    # uses for joint-phase pseudo-labels and predict dumps; the pipeline
+    # bottleneck, VERDICT r1 #1)
     extras = {}
     if not dense and os.environ.get("BENCH_RENDER", "1") == "1":
         from ucsa_neural_rendering_tpu.data.rays import get_rays
         rays = get_rays(batch["pose"], batch["intrinsics"], H, W)
-        render = jax.jit(lambda p, g: tr._render_image_impl(
-            p, batch["pose"], batch["intrinsics"], rays, g))
+        render = jax.jit(lambda p, g, pt: tr._render_image_impl(
+            p, batch["pose"], batch["intrinsics"], rays, g, pt))
         import dataclasses
-        tr.cfg = dataclasses.replace(cfg, num_steps=16, upsample_steps=16)
-        out = render(params, grid)
+        tr.cfg = dataclasses.replace(cfg, early_stop=True, stage1_steps=16,
+                                     refine_fraction=0.25)
+        packed = tr.packed_for(params)
+        out = render(params, grid, packed)
         _ = float(jnp.sum(out["nerf_rgb"]))
         t0 = time.perf_counter()
-        out = render(params, grid)
+        out = render(params, grid, packed)
         _ = float(jnp.sum(out["nerf_rgb"]))
         extras["render_ms_per_frame"] = round(
             (time.perf_counter() - t0) * 1000, 1)

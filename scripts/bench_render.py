@@ -80,45 +80,21 @@ def main():
     configs = {
         "32+32 (parity)": RenderConfig(num_steps=32, upsample_steps=32,
                                        packed_max_entries=0),
-        "16+16 (default)": RenderConfig(num_steps=16, upsample_steps=16,
-                                        packed_max_entries=0),
-        "es8->16+16 k/8": RenderConfig(num_steps=16, upsample_steps=16,
-                                       early_stop=True, stage1_steps=8,
-                                       refine_fraction=0.125,
-                                       packed_max_entries=0),
         "32+32 pk23": RenderConfig(num_steps=32, upsample_steps=32,
                                    packed_max_entries=2 ** 23),
         "16+16 pk23": RenderConfig(num_steps=16, upsample_steps=16,
                                    packed_max_entries=2 ** 23),
-        # probe placement ("pp<probe>-><final>"): cheap probe density places
-        # the final exact samples; probe samples are never composited
-        "pp16->16 pk23": RenderConfig(num_steps=16, upsample_steps=0,
-                                      probe_placement=True, num_probe=16,
-                                      packed_max_entries=2 ** 23),
-        "pp32->16 pk23": RenderConfig(num_steps=16, upsample_steps=0,
-                                      probe_placement=True, num_probe=32,
-                                      packed_max_entries=2 ** 23),
-        "pp32->24 pk23": RenderConfig(num_steps=24, upsample_steps=0,
-                                      probe_placement=True, num_probe=32,
-                                      packed_max_entries=2 ** 23),
-        "pp32->32 pk23": RenderConfig(num_steps=32, upsample_steps=0,
-                                      probe_placement=True, num_probe=32,
-                                      packed_max_entries=2 ** 23),
-        "pp64->32 pk23": RenderConfig(num_steps=32, upsample_steps=0,
-                                      probe_placement=True, num_probe=64,
-                                      packed_max_entries=2 ** 23),
-        # early-stop over probe placement: stage-1 = pp(num_probe)->stage1,
-        # alive rays re-render at pp(num_probe)->num_steps
-        "es-pp8->32 k/8": RenderConfig(num_steps=32, upsample_steps=0,
-                                       probe_placement=True, num_probe=16,
-                                       early_stop=True, stage1_steps=8,
-                                       refine_fraction=0.125,
-                                       packed_max_entries=2 ** 23),
-        "es-pp16->32 k/4": RenderConfig(num_steps=32, upsample_steps=0,
-                                        probe_placement=True, num_probe=32,
-                                        early_stop=True, stage1_steps=16,
-                                        refine_fraction=0.25,
-                                        packed_max_entries=2 ** 23),
+        # the test/predict DEFAULT (JointTrainer): train budget +
+        # early-stop stage-1 at half budget + packed tables
+        "es16->32+32 k/4 pk23": RenderConfig(num_steps=32, upsample_steps=32,
+                                             early_stop=True, stage1_steps=16,
+                                             refine_fraction=0.25,
+                                             packed_max_entries=2 ** 23),
+        # fast knob
+        "es8->16+16 k/8 pk23": RenderConfig(num_steps=16, upsample_steps=16,
+                                            early_stop=True, stage1_steps=8,
+                                            refine_fraction=0.125,
+                                            packed_max_entries=2 ** 23),
     }
 
     from ucsa_neural_rendering_tpu.ops.renderer import normalize_semantics

@@ -11,7 +11,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(stochastic_fwd, steps, H, W):
+def run(stochastic_fwd, steps, H, W, train_packed=0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -25,7 +25,8 @@ def run(stochastic_fwd, steps, H, W):
     frames, intr = make_synthetic_scene(6, H, W)
     model = SemanticNeRF(bound=1.0, num_semantic_classes=40,
                          stochastic_fwd=stochastic_fwd)
-    cfg = RenderConfig(num_steps=32, upsample_steps=32, occ_candidates=128)
+    cfg = RenderConfig(num_steps=32, upsample_steps=32, occ_candidates=128,
+                       train_packed_max_entries=train_packed)
     tr = NeRFTrainer(model, cfg, lr=1e-2, n_rays=4096, image_hw=(H, W))
     params, opt_state = tr.init(jax.random.key(0))
     grid = tr.init_occupancy()
@@ -69,10 +70,16 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--hw", type=int, nargs=2, default=(240, 320))
     args = ap.parse_args()
-    for flag in (False, True):
-        ms, psnr, acc = run(flag, args.steps, *args.hw)
-        name = "stochastic-fwd" if flag else "exact-fwd    "
-        print(f"{name}  {ms:7.1f} ms/step ({4096e3 / ms:7.0f} rays/s)  "
+    variants = (
+        ("exact-fwd", False, 0),
+        ("exact-fwd + train-pk21", False, 2 ** 21),
+        ("hybrid fine-sampled pk21", "fine", 2 ** 21),
+        ("hybrid fine-sampled pk23", "fine", 2 ** 23),
+        ("stochastic-fwd (all)", True, 0),
+    )
+    for name, flag, tp in variants:
+        ms, psnr, acc = run(flag, args.steps, *args.hw, train_packed=tp)
+        print(f"{name:26s}  {ms:7.1f} ms/step ({4096e3 / ms:7.0f} rays/s)  "
               f"PSNR {psnr:.2f} dB  sem-acc {acc:.3f}", flush=True)
 
 

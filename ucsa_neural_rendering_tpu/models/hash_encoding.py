@@ -230,6 +230,14 @@ _SF_MAX_RANGE = 32768
 _SF_BACKENDS = ("tpu",)  # tests extend this to exercise the path on CPU
 
 
+def _choose_tile(m_rows: int) -> int:
+    """Sweep-chosen tile (scripts/bench_sf_sweep.py): 1024 at occupancy
+    scale (4.2M rows/step, 332 vs 430 ms at bigger tiles), 4096 at dense-
+    chunk scale (33.5M rows, 9.46 vs 10.0 s/step) — at huge M the sort, not
+    the tile scan, dominates, and larger tiles shave scan iterations."""
+    return _SF_TILE if m_rows < 8 * 1024 * 1024 else 4 * _SF_TILE
+
+
 def _scatter_free_range(table_size: int, m_rows: int,
                         tile: int = _SF_TILE) -> int | None:
     """Static choice of the one-hot window R, or None → use plain scatter.
@@ -262,9 +270,9 @@ def _accumulate_rows(acc: jnp.ndarray, idx: jnp.ndarray,
 
     acc: [T, F] f32; idx: [M] int32; contrib: [M, F] f32.
     """
-    tile = tile or _SF_TILE
     table_size, n_feat = acc.shape
     m = idx.shape[0]
+    tile = tile or _choose_tile(m)
     r = _scatter_free_range(table_size, m, tile)
     if r is None:
         return acc.at[idx].add(contrib)
@@ -466,6 +474,40 @@ def _hesf_bwd(spec, x01, g):
 hash_encode_stochastic_fwd.defvjp(_hesf_fwd, _hesf_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def hash_encode_hybrid_train(table, packed, x01, spec: HashGridSpec):
+    """Training encode with the measured sweet spot per level class:
+    packed (coarse) levels read EXACTLY via one cell row each; fine levels
+    sample ONE corner w.p. its trilinear weight (unbiased — the coarse
+    structure that carries geometry stays exact, only high-frequency
+    features get estimator noise, fresh each step via the position-hash
+    draw). Backward scatters the cotangent to one sampled corner per
+    (point, level) for every level — the stochastic-corner estimator that
+    already beats exact trilinear gradients on convergence
+    (PERFORMANCE.md). Cuts forward table reads 8x on every level."""
+    from .packed_table import hash_encode_packed_probe
+    return hash_encode_packed_probe(table, packed, x01, spec)
+
+
+def _heht_fwd(table, packed, x01, spec):
+    from .packed_table import hash_encode_packed_probe
+    out = hash_encode_packed_probe(table, packed, x01, spec)
+    aux = (jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), packed), x01)
+    return out, aux
+
+
+def _heht_bwd(spec, aux, g):
+    packed_shape, x01 = aux
+    grad_table, grad_x = _hesg_bwd(spec, x01, g)
+    zero_packed = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), packed_shape)
+    return grad_table, zero_packed, grad_x
+
+
+hash_encode_hybrid_train.defvjp(_heht_fwd, _heht_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def hash_encode_packed_train(table, packed, x01, spec: HashGridSpec,
                              stochastic: bool):
@@ -513,7 +555,8 @@ class HashGridEncoding(nn.Module):
     spec: HashGridSpec
     param_dtype: jnp.dtype = jnp.float32
     stochastic_grad: bool = False
-    stochastic_fwd: bool = False
+    stochastic_fwd: bool | str = False   # True = all levels; "fine" =
+    # hybrid (packed coarse exact + sampled fine; needs a packed table)
 
     @nn.compact
     def __call__(self, x01: jnp.ndarray, probe: bool = False,
@@ -523,6 +566,10 @@ class HashGridEncoding(nn.Module):
             lambda key, shape: jax.random.uniform(
                 key, shape, self.param_dtype, minval=-1e-4, maxval=1e-4),
             (self.spec.table_size, self.spec.n_features))
+        if train and self.stochastic_fwd == "fine" and packed is not None:
+            # hybrid accel: exact packed coarse + sampled fine forward,
+            # stochastic-corner backward (see hash_encode_hybrid_train)
+            return hash_encode_hybrid_train(table, packed, x01, self.spec)
         if packed is not None and not (train and self.stochastic_fwd):
             # cell-packed lookups (see models/packed_table.py): one row per
             # (point, packed level). probe=True additionally single-corner-

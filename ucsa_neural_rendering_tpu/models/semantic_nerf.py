@@ -72,7 +72,13 @@ class SemanticNeRF(nn.Module):
     # table reads — the step's remaining bottleneck). Unbiased, fresh noise
     # per step; eval/render paths always use the exact trilinear blend.
     # Opt-in (convergence measured in scripts/bench_stochfwd.py).
-    stochastic_fwd: bool = False
+    # True samples every level's forward corner (8x fewer reads, heavy
+    # feature noise: measured -12 dB on the fixture); "fine" keeps the
+    # packed coarse levels exact and samples only the fine levels — the
+    # geometry-carrying structure stays exact (requires
+    # RenderConfig.train_packed_max_entries > 0 to supply the packed
+    # table; falls back to exact otherwise).
+    stochastic_fwd: bool | str = False
 
     def grid_spec(self):
         """The static hash-grid geometry (also used unbound, e.g. by

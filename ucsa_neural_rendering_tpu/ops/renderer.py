@@ -86,17 +86,19 @@ class RenderConfig:
     # profitable when the per-step forward reads far more rows than the
     # pack writes. 0 disables (default until measured on hardware).
     train_packed_max_entries: int = 0
-    # rematerialize the MLP/hash-encoding evaluations in the backward pass:
-    # the per-sample gather indices + trilinear weights of the hash encoding
-    # (~GBs at 4096x512 samples) are recomputed instead of stored, trading
-    # ~1 extra density evaluation for fitting the step in HBM. "auto" remats
-    # only for dense sample counts (> 192/ray) where the saved buffers blow
-    # HBM; occupancy-scale steps fit and run ~10% faster without remat.
+    # rematerialize the MLP/hash-encoding evaluations in the backward pass,
+    # trading an extra density evaluation (the expensive gathers!) for
+    # activation memory. Since the hash VJP recomputes indices/weights in
+    # bounded chunks itself (models/hash_encoding.py _chunked_scatter_bwd),
+    # the reference's 256+256 workload FITS on the 16 GB chip without
+    # remat — and runs 2.3x faster (567 -> 1,284 rays/s measured; the remat
+    # was re-paying the full forward gather bill in backward). "auto" now
+    # remats only beyond the reference's densest budget (> 512 samples).
     remat: bool | str = "auto"
 
     def use_remat(self) -> bool:
         if self.remat == "auto":
-            return self.num_steps + self.upsample_steps > 192
+            return self.num_steps + self.upsample_steps > 512
         return bool(self.remat)
 
 

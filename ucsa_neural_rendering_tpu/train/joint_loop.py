@@ -219,18 +219,25 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     test_render_cfg = None
     if render_cfg is None and "renderer" in exp:
         # optional renderer block in the experiment YAML (extension over the
-        # reference's config surface; defaults match the reference's 256+256)
-        r = exp["renderer"]
-        render_cfg = RenderConfig(
-            num_steps=int(r.get("num_steps", 256)),
-            upsample_steps=int(r.get("upsample_steps", 256)),
-            max_ray_batch=int(r.get("max_ray_batch", 4096)))
-        if "test_num_steps" in r:
-            test_render_cfg = RenderConfig(
-                num_steps=int(r["test_num_steps"]),
-                upsample_steps=int(r.get("test_upsample_steps",
-                                         r["test_num_steps"])),
-                max_ray_batch=int(r.get("max_ray_batch", 4096)))
+        # reference's config surface; defaults match the reference's
+        # 256+256). Any RenderConfig field passes through verbatim; `test_`-
+        # prefixed keys configure the full-frame test/predict renders
+        # separately (e.g. test_num_steps, test_early_stop).
+        r = dict(exp["renderer"])
+        from dataclasses import fields
+        known = {f.name for f in fields(RenderConfig)}
+        base = {k: v for k, v in r.items() if k in known}
+        base.setdefault("num_steps", 256)
+        base.setdefault("upsample_steps", 256)
+        render_cfg = RenderConfig(**base)
+        test = {k[len("test_"):]: v for k, v in r.items()
+                if k.startswith("test_") and k[len("test_"):] in known}
+        if test:
+            test_render_cfg = RenderConfig(**{**base, **test,
+                                              "upsample_steps": test.get(
+                                                  "upsample_steps",
+                                                  test.get("num_steps",
+                                                           base["upsample_steps"]))})
     trainer_kwargs = dict(trainer_kwargs or {})
     if test_render_cfg is not None:
         trainer_kwargs.setdefault("test_render_cfg", test_render_cfg)
