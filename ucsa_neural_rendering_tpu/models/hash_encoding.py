@@ -194,6 +194,15 @@ def packed_indices_weights(x01: jnp.ndarray, spec: HashGridSpec):
 
 def _hash_encode_raw(table: jnp.ndarray, x01: jnp.ndarray, spec: HashGridSpec,
                      compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Exact trilinear forward, ONE fused gather across all levels.
+
+    Gather op structure is workload-dependent on TPU (measured, see
+    PERFORMANCE.md gather notes): monolithic wins at train-step scale
+    (~131k points: 277 vs 289 ms/step against per-level ops), while the
+    packed RENDER encode benefits from per-level ops (see
+    packed_table.hash_encode_packed). Giant multi-10M-row single gathers
+    degrade per-row (11.8 ns at 128M rows) — nothing on the train path
+    reaches that size."""
     n = x01.shape[0]
     idx, w = packed_indices_weights(x01, spec)  # [N, L, 8]
     corner_feats = jnp.take(table.astype(compute_dtype), idx.reshape(-1),

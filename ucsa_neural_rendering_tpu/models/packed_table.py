@@ -136,49 +136,39 @@ def hash_encode_packed(table: jnp.ndarray, packed: PackedTable,
     offs, _ = packed_offsets(spec, k)
     pos_f32 = x01.astype(jnp.float32)
 
+    # One gather op per level throughout (huge monolithic gathers degrade
+    # per-row on TPU — see hash_encoding._hash_encode_raw).
     feats = []
-    if k:
-        idx_all, w_all = [], []
-        for i in range(k):
-            res = spec.resolutions[i]
-            pos = pos_f32 * res
-            cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
-            # frac relative to the (clipped) cell: at the x01 == 1.0 edge the
-            # cell clamps to res-1 and frac becomes 1.0, selecting the far
-            # corners — the same vertices the unpacked path's index clamp
-            # (min(cidx, res)) lands on.
-            frac = pos - cell.astype(jnp.float32)
-            idx = ((cell[:, 2] * res + cell[:, 1]) * res + cell[:, 0]
-                   + offs[i])
-            w = jnp.ones((n, 8), jnp.float32)
-            for a in range(3):
-                fa = frac[:, a][:, None]
-                w = w * jnp.where(_CORNERS[None, :, a] == 1, fa, 1.0 - fa)
-            idx_all.append(idx)
-            w_all.append(w)
-        idx = jnp.stack(idx_all, axis=1)                     # [N, K]
-        w = jnp.stack(w_all, axis=1)                         # [N, K, 8]
-        rows = jnp.take(packed.data.astype(compute_dtype),
-                        idx.reshape(-1), axis=0)
-        rows = rows.reshape(n, k, 8, f)
+    pdata = packed.data.astype(compute_dtype)
+    tb = table.astype(compute_dtype) if k < spec.n_levels else None
+    for i in range(k):
+        res = spec.resolutions[i]
+        pos = pos_f32 * res
+        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
+        # frac relative to the (clipped) cell: at the x01 == 1.0 edge the
+        # cell clamps to res-1 and frac becomes 1.0, selecting the far
+        # corners — the same vertices the unpacked path's index clamp
+        # (min(cidx, res)) lands on.
+        frac = pos - cell.astype(jnp.float32)
+        idx = ((cell[:, 2] * res + cell[:, 1]) * res + cell[:, 0]
+               + offs[i])
+        w = jnp.ones((n, 8), jnp.float32)
+        for a in range(3):
+            fa = frac[:, a][:, None]
+            w = w * jnp.where(_CORNERS[None, :, a] == 1, fa, 1.0 - fa)
+        rows = jnp.take(pdata, idx, axis=0).reshape(n, 8, f)
         feats.append(jnp.sum(rows * w[..., None].astype(compute_dtype),
-                             axis=2))                        # [N, K, F]
+                             axis=1))
 
-    if k < spec.n_levels:
-        idx_all, w_all = [], []
-        for lvl in range(k, spec.n_levels):
-            idx, w = _level_indices(pos_f32, spec.resolutions[lvl],
-                                    spec.sizes[lvl], spec.hashed[lvl])
-            idx_all.append(idx + spec.offsets[lvl])
-            w_all.append(w)
-        idx = jnp.stack(idx_all, axis=1)                     # [N, L-K, 8]
-        w = jnp.stack(w_all, axis=1)
-        corner = jnp.take(table.astype(compute_dtype), idx.reshape(-1),
-                          axis=0).reshape(n, spec.n_levels - k, 8, f)
-        feats.append(jnp.sum(corner * w[..., None].astype(compute_dtype),
-                             axis=2))
+    for lvl in range(k, spec.n_levels):
+        idx, w = _level_indices(pos_f32, spec.resolutions[lvl],
+                                spec.sizes[lvl], spec.hashed[lvl])
+        rows = jnp.take(tb, (idx + spec.offsets[lvl]).reshape(-1),
+                        axis=0).reshape(n, 8, f)
+        feats.append(jnp.sum(rows * w[..., None].astype(compute_dtype),
+                             axis=1))
 
-    return jnp.concatenate(feats, axis=1).reshape(n, spec.out_dim)
+    return jnp.concatenate(feats, axis=1)
 
 
 def hash_encode_packed_probe(table: jnp.ndarray, packed: PackedTable,
