@@ -32,6 +32,29 @@ def env25k(tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_render_cfgs_from_exp():
+    """YAML renderer-block plumbing: verbatim RenderConfig fields, test_
+    overrides, the symmetric-test-budget shorthand, unknown keys ignored."""
+    from ucsa_neural_rendering_tpu.train.joint_loop import render_cfgs_from_exp
+
+    rc, tc = render_cfgs_from_exp({"renderer": {}})
+    assert (rc.num_steps, rc.upsample_steps) == (256, 256) and tc is None
+
+    rc, tc = render_cfgs_from_exp({"renderer": {
+        "num_steps": 32, "upsample_steps": 32, "packed_max_entries": 0,
+        "test_num_steps": 16, "test_early_stop": True,
+        "test_stage1_steps": 8, "not_a_field": 1}})
+    assert (rc.num_steps, rc.upsample_steps) == (32, 32)
+    assert rc.packed_max_entries == 0 and not rc.early_stop
+    assert (tc.num_steps, tc.upsample_steps) == (16, 16)  # symmetric default
+    assert tc.early_stop and tc.stage1_steps == 8
+    assert tc.packed_max_entries == 0  # base fields inherited
+
+    rc, tc = render_cfgs_from_exp({"renderer": {
+        "num_steps": 64, "test_early_stop": True}})
+    assert tc.num_steps == 64 and tc.upsample_steps == 256
+
+
 def test_pretrain_loop(env25k):
     exp = {
         "general": {"name": "pretrain_test",

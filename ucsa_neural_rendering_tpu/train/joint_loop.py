@@ -31,6 +31,30 @@ PREDICT_SUBFOLDERS = ("nerf_image", "nerf_label", "nerf_label_vis",
                       "seg_label", "seg_label_vis")
 
 
+def render_cfgs_from_exp(exp):
+    """(train RenderConfig, test RenderConfig | None) from the optional
+    `renderer:` block of an experiment YAML — an extension over the
+    reference's config surface; defaults match the reference's 256+256
+    budget. Any RenderConfig field passes through verbatim; `test_`-
+    prefixed keys configure the full-frame test/predict renders separately
+    (e.g. test_num_steps, test_early_stop). As before, test_num_steps
+    without test_upsample_steps implies a symmetric test budget."""
+    from dataclasses import fields
+    r = dict(exp.get("renderer", {}))
+    known = {f.name for f in fields(RenderConfig)}
+    base = {k: v for k, v in r.items() if k in known}
+    base.setdefault("num_steps", 256)
+    base.setdefault("upsample_steps", 256)
+    test = {k[len("test_"):]: v for k, v in r.items()
+            if k.startswith("test_") and k[len("test_"):] in known}
+    test_cfg = None
+    if test:
+        test.setdefault("upsample_steps",
+                        test.get("num_steps", base["upsample_steps"]))
+        test_cfg = RenderConfig(**{**base, **test})
+    return RenderConfig(**base), test_cfg
+
+
 def _nerf_batch(item_batch):
     """Numpy collated joint items → device arrays for nerf_fit_step."""
     return {
@@ -218,26 +242,7 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     num_classes = exp["model"]["num_classes"]
     test_render_cfg = None
     if render_cfg is None and "renderer" in exp:
-        # optional renderer block in the experiment YAML (extension over the
-        # reference's config surface; defaults match the reference's
-        # 256+256). Any RenderConfig field passes through verbatim; `test_`-
-        # prefixed keys configure the full-frame test/predict renders
-        # separately (e.g. test_num_steps, test_early_stop).
-        r = dict(exp["renderer"])
-        from dataclasses import fields
-        known = {f.name for f in fields(RenderConfig)}
-        base = {k: v for k, v in r.items() if k in known}
-        base.setdefault("num_steps", 256)
-        base.setdefault("upsample_steps", 256)
-        render_cfg = RenderConfig(**base)
-        test = {k[len("test_"):]: v for k, v in r.items()
-                if k.startswith("test_") and k[len("test_"):] in known}
-        if test:
-            test_render_cfg = RenderConfig(**{**base, **test,
-                                              "upsample_steps": test.get(
-                                                  "upsample_steps",
-                                                  test.get("num_steps",
-                                                           base["upsample_steps"]))})
+        render_cfg, test_render_cfg = render_cfgs_from_exp(exp)
     trainer_kwargs = dict(trainer_kwargs or {})
     if test_render_cfg is not None:
         trainer_kwargs.setdefault("test_render_cfg", test_render_cfg)
