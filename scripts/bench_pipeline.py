@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Wall-clock of one full joint-adaptation stage at production scale.
+
+Drives the REAL pipeline (scripts/train_joint.py's loop — NeRF fit epochs,
+joint epochs with full-frame renders + augmentation + seg updates, NeRF
+test, predict dumps) on a synthetic 240x320 scene with the full-size
+models (DeepLabV3-R101 + 2^19-table Semantic-NeRF), using whatever
+defaults the framework currently ships (early-stop + cell-packed renders,
+occupancy-guided sampling, scatter-free backward). This is the
+pipeline-level counterpart to bench.py's hot-loop number: it prices the
+orchestration, host IO, and every phase together.
+
+Usage: python scripts/bench_pipeline.py [--frames 6] [--nerf-epochs 2]
+       [--joint-epochs 2]
+Prints one ms/phase table + total; appends nothing to BENCH files.
+"""
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--nerf-epochs", type=int, default=2)
+    ap.add_argument("--joint-epochs", type=int, default=2)
+    ap.add_argument("--hw", type=int, nargs=2, default=(240, 320))
+    args = ap.parse_args()
+
+    import argparse as _a
+
+    from ucsa_neural_rendering_tpu.data.synthetic import \
+        write_synthetic_scene_dir
+    from ucsa_neural_rendering_tpu.models import SemanticNeRF
+    from ucsa_neural_rendering_tpu.train import joint_loop
+
+    H, W = args.hw
+    root = tempfile.mkdtemp(prefix="ucsa_pipe_")
+    scannet = os.path.join(root, "scans")
+    write_synthetic_scene_dir(scannet, "scene0000_00", n_frames=args.frames,
+                              H=H, W=W)
+    env = {"results": os.path.join(root, "experiments"), "scannet": scannet,
+           "scannet_frames_25k": os.path.join(root, "frames25k")}
+    os.makedirs(env["scannet_frames_25k"], exist_ok=True)
+
+    exp = {
+        "general": {"name": "pipe_bench", "clean_up_folder_if_exists": True,
+                    "checkpoint_load": None},
+        "model": {"num_classes": 40},
+        "lr_scheduler": {"active": False},
+        "optimizer": {"lr_seg": 1e-5, "lr_nerf": 1e-2, "name": "Adam"},
+        "trainer": {"max_epochs": 1, "resume_from_checkpoint": False,
+                    "load_from_checkpoint": False},
+        "data_module": {"batch_size": 2, "shuffle": True, "num_workers": 0,
+                        "drop_last": True,
+                        "data_preprocessing": {"split_file": "split.npz",
+                                               "split_file_cl":
+                                                   "split_cl.npz"}},
+        "visualizer": {"store": False,
+                       "store_n": {"train": 0, "val": 0, "test": 0}},
+        "scenes": ["scene0000_00"],
+        "cl": {"active": False, "use_novel_viewpoints": False,
+               "replay_buffer_size": 0},
+        "output_size": (H, W),
+    }
+    run_args = _a.Namespace(exp_name="pipe", seed=0, fix_nerf=False,
+                            nerf_train_epoch=args.nerf_epochs,
+                            joint_train_epoch=args.joint_epochs,
+                            project_name="bench")
+
+    t0 = time.time()
+    joint_loop.train(
+        exp, env, run_args, val_scene_list=["scene0000_00"],
+        trainer_kwargs={
+            # full-size NeRF at the fixture's scene scale (bound 1)
+            "nerf_model": SemanticNeRF(bound=1.0, num_semantic_classes=40),
+        })
+    total = time.time() - t0
+    n_steps = args.nerf_epochs * args.frames
+    print(f"\njoint stage total: {total:.1f} s "
+          f"({args.nerf_epochs} NeRF epochs x {args.frames} frames + "
+          f"{args.joint_epochs} joint epochs + test + predict, "
+          f"{H}x{W}, full-size models)", flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

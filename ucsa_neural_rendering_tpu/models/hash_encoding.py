@@ -192,24 +192,43 @@ def packed_indices_weights(x01: jnp.ndarray, spec: HashGridSpec):
     return jnp.stack(idx_all, axis=1), jnp.stack(w_all, axis=1)
 
 
+# above this point count the fused all-level gather enters XLA's degraded
+# big-op regime (per-row cost rises from ~6 to ~12 ns by 128M rows) and
+# per-level ops win decisively; below it the fused gather is slightly
+# faster in-step (277 vs 289 ms at the 131k-point occupancy workload).
+_PER_LEVEL_MIN_POINTS = 196_608
+
+
 def _hash_encode_raw(table: jnp.ndarray, x01: jnp.ndarray, spec: HashGridSpec,
                      compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Exact trilinear forward, ONE fused gather across all levels.
+    """Exact trilinear forward.
 
     Gather op structure is workload-dependent on TPU (measured, see
-    PERFORMANCE.md gather notes): monolithic wins at train-step scale
-    (~131k points: 277 vs 289 ms/step against per-level ops), while the
-    packed RENDER encode benefits from per-level ops (see
-    packed_table.hash_encode_packed). Giant multi-10M-row single gathers
-    degrade per-row (11.8 ns at 128M rows) — nothing on the train path
-    reaches that size."""
+    PERFORMANCE.md gather notes): one fused all-level gather wins at
+    train-step scale (~131k points), while large batches — the dense
+    256+256 parity mode's 1M-point density calls, whose fused gather would
+    be 134M rows deep in the degraded regime — run one gather per level.
+    Identical math either way (the per-(point, level) blend is unchanged)."""
     n = x01.shape[0]
-    idx, w = packed_indices_weights(x01, spec)  # [N, L, 8]
-    corner_feats = jnp.take(table.astype(compute_dtype), idx.reshape(-1),
-                            axis=0)
-    corner_feats = corner_feats.reshape(n, spec.n_levels, 8, spec.n_features)
-    feats = jnp.sum(corner_feats * w[..., None].astype(compute_dtype), axis=2)
-    return feats.reshape(n, spec.n_levels * spec.n_features)
+    if n < _PER_LEVEL_MIN_POINTS:
+        idx, w = packed_indices_weights(x01, spec)  # [N, L, 8]
+        corner_feats = jnp.take(table.astype(compute_dtype), idx.reshape(-1),
+                                axis=0)
+        corner_feats = corner_feats.reshape(n, spec.n_levels, 8,
+                                            spec.n_features)
+        feats = jnp.sum(corner_feats * w[..., None].astype(compute_dtype),
+                        axis=2)
+        return feats.reshape(n, spec.n_levels * spec.n_features)
+    tb = table.astype(compute_dtype)
+    feats = []
+    for lvl in range(spec.n_levels):
+        idx, w = _level_indices(x01, spec.resolutions[lvl], spec.sizes[lvl],
+                                spec.hashed[lvl])
+        rows = jnp.take(tb, (idx + spec.offsets[lvl]).reshape(-1),
+                        axis=0).reshape(n, 8, spec.n_features)
+        feats.append(jnp.sum(rows * w[..., None].astype(compute_dtype),
+                             axis=1))
+    return jnp.concatenate(feats, axis=1)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
