@@ -122,6 +122,16 @@ def test_finetune_loop_on_renders(env25k, tmp_path):
     state = finetune_loop.train(exp, env25k, args, model=TinySeg())
     assert os.path.isdir(os.path.join(env25k["results"], "finetune_test",
                                       "deeplab_ckpt"))
+    # the 25k generalization test phase ran before AND after fitting
+    # (ref scripts/train_finetune.py:115-118) — split.npz exists in env25k
+    import json
+    logged = set()
+    with open(os.path.join(env25k["results"], "finetune_test",
+                           "metrics.jsonl")) as f:
+        for line in f:
+            logged.update(json.loads(line).keys())
+    assert "test/25k_mean_IoU_pre" in logged
+    assert "test/25k_mean_IoU_post" in logged
 
 
 def _resume_exp(name, max_epochs, resume, clean, env25k):

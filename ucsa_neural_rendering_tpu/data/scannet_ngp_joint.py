@@ -94,7 +94,14 @@ class ScanNetNGPJoint:
 
         for i, scene_name in enumerate(scene_list):
             scene_root = os.path.join(self.root, scene_name)
-            with open(os.path.join(scene_root, "transforms_train.json")) as f:
+            tf_path = os.path.join(scene_root, "transforms_train.json")
+            if not os.path.isfile(tf_path):
+                raise FileNotFoundError(
+                    f"{tf_path} not found — scene '{scene_name}' has not "
+                    f"been preprocessed. Run preprocessing_scripts/"
+                    f"scannet2transform.py and scannet2nerf.py on it first "
+                    f"(see run_scripts/preprocess_scannet.sh).")
+            with open(tf_path) as f:
                 info = json.load(f)
             if i == len(scene_list) - 1:  # newest scene sets intrinsics
                 self.ngp_H = int(info["h"])

@@ -3,9 +3,9 @@ from .hash_encoding import HashGridEncoding
 from .sh_encoding import sh_encoding
 from .semantic_nerf import SemanticNeRF
 from .deeplabv3 import DeepLabV3
-from .resnet import ResNet101Backbone
+from .resnet import RESNET101_LAYOUT, TINY_LAYOUT, ResNet101Backbone
 
 __all__ = [
     "trunc_exp", "HashGridEncoding", "sh_encoding", "SemanticNeRF",
-    "DeepLabV3", "ResNet101Backbone"
+    "DeepLabV3", "ResNet101Backbone", "RESNET101_LAYOUT", "TINY_LAYOUT"
 ]

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .resnet import BN, ResNet101Backbone
+from .resnet import BN, RESNET101_LAYOUT, TINY_LAYOUT, ResNet101Backbone
 
 
 class ASPP(nn.Module):
@@ -64,6 +64,12 @@ def resize_bilinear(x, out_hw):
 class DeepLabV3(nn.Module):
     num_classes: int = 40
     dtype: jnp.dtype = jnp.float32
+    # backbone_layout=TINY_LAYOUT + small widths give a structurally
+    # identical model at ~1/30 the op count for tests / the multi-chip
+    # dryrun (full R101 compiles cost minutes on 8 virtual CPU devices)
+    backbone_layout: tuple = RESNET101_LAYOUT
+    aspp_channels: int = 256
+    head_channels: int = 256
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True,
@@ -71,11 +77,13 @@ class DeepLabV3(nn.Module):
         """x: [B, H, W, 3] in [0, 1] (the reference feeds unnormalized 0-1
         images). Returns {"out": logits [B, H, W, num_classes]}."""
         in_hw = x.shape[1:3]
-        feats = ResNet101Backbone(dtype=self.dtype, name="backbone")(
-            x, use_running_average)
-        h = ASPP(dtype=self.dtype, name="aspp")(feats, use_running_average,
-                                                deterministic)
-        h = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+        feats = ResNet101Backbone(dtype=self.dtype,
+                                  layout=self.backbone_layout,
+                                  name="backbone")(x, use_running_average)
+        h = ASPP(out_channels=self.aspp_channels, dtype=self.dtype,
+                 name="aspp")(feats, use_running_average, deterministic)
+        h = nn.Conv(self.head_channels, (3, 3), padding=[(1, 1)] * 2,
+                    use_bias=False,
                     dtype=self.dtype, name="head_conv")(h)
         h = BN(use_running_average=use_running_average, dtype=self.dtype,
                name="head_bn")(h)

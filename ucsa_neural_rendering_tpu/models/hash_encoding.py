@@ -612,7 +612,10 @@ class HashGridEncoding(nn.Module):
                                             self.stochastic_grad)
         if probe:
             return hash_encode_sampled(table, x01, self.spec)
-        if train and self.stochastic_fwd:
+        if train and self.stochastic_fwd is True:
+            # "fine" without a packed table falls back to exact (the hybrid
+            # needs the packed coarse levels; sampling ALL levels here would
+            # silently be the heavy-noise mode, ~-12 dB)
             return hash_encode_stochastic_fwd(table, x01, self.spec)
         if self.stochastic_grad:
             return hash_encode_stochastic_grad(table, x01, self.spec)

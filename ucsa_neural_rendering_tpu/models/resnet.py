@@ -30,6 +30,17 @@ RESNET101_LAYOUT = (
     ("layer4", 3, 512, 1, 2, 4),
 )
 
+# One bottleneck per stage, 8-wide: same graph structure (stem, strides,
+# dilations, downsamples, BN semantics) at ~1/30 the op count. Used by tests
+# and the driver's multi-chip dryrun, where compiling the full 104-conv
+# ResNet-101 fwd+bwd on 8 virtual CPU devices costs minutes per jit.
+TINY_LAYOUT = (
+    ("layer1", 1, 8, 1, 1, 1),
+    ("layer2", 1, 8, 2, 1, 1),
+    ("layer3", 1, 8, 1, 1, 2),
+    ("layer4", 1, 8, 1, 2, 4),
+)
+
 BN = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
 
 
@@ -66,21 +77,23 @@ class Bottleneck(nn.Module):
 
 class ResNet101Backbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
+    layout: tuple = RESNET101_LAYOUT
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
-        """x: [B, H, W, 3] → features [B, H/8, W/8, 2048]."""
+        """x: [B, H, W, 3] → features [B, H/8, W/8, 4*last_planes]."""
+        stem = self.layout[0][2]
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
-        x = conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+        x = conv(stem, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                  name="conv1")(x)
         x = BN(use_running_average=use_running_average, dtype=self.dtype,
                name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=[(1, 1), (1, 1)])
-        in_planes = 64
+        in_planes = stem
         for lname, blocks, planes, stride, dil_first, dil_rest in \
-                RESNET101_LAYOUT:
+                self.layout:
             for b in range(blocks):
                 first = b == 0
                 x = Bottleneck(

@@ -72,7 +72,8 @@ def update_grid(grid: jnp.ndarray, density_fn, bound: float, key: jax.Array,
     r = cfg.resolution
     n_cells = r ** 3
     n_slabs = cfg.refresh_slabs if slab_index is not None else 1
-    assert r % n_slabs == 0, "resolution must divide refresh_slabs"
+    assert r % n_slabs == 0, (
+        f"refresh_slabs ({n_slabs}) must divide resolution ({r})")
     slab_cells = n_cells // n_slabs
     cells = jnp.stack(jnp.meshgrid(jnp.arange(r), jnp.arange(r),
                                    jnp.arange(r), indexing="ij"),

@@ -68,7 +68,9 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int,
     # search loop — measured ~45 ms per 4096-ray chunk, which made sample
     # placement ~40% of a full frame; the dense form is sub-ms). Identical
     # result: side="right" insertion index == count of cdf entries <= u.
-    if cdf.shape[-1] <= 513:
+    # TPU-only: on CPU backends (tests, virtual meshes) the [N, S, T]
+    # intermediate doesn't fuse and the O(log T) searchsorted is fine.
+    if cdf.shape[-1] <= 513 and jax.default_backend() == "tpu":
         inds = jnp.sum((u[..., :, None] >= cdf[..., None, :]).astype(
             jnp.int32), axis=-1)
     else:

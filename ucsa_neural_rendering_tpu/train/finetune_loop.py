@@ -41,6 +41,39 @@ def _eval_per_scene(trainer, state, dataset, num_classes, logger, prefix):
     return out
 
 
+def _eval_25k(trainer, state, dataset, num_classes, logger, tag):
+    """25k generalization test (ref scripts/train_finetune.py:115-118 runs
+    trainer.test on `scannet_test_gen` before and after fitting,
+    finetune_data_module.py:109-117)."""
+    meter = SemanticsMeter(num_classes)
+    for i in range(len(dataset)):
+        img, label, _ = dataset[i]
+        preds, _ = trainer.eval_step(state[0], state[1],
+                                     jnp.asarray(img)[None])
+        meter.update(preds[0], jnp.asarray(label))
+    miou, tacc, macc = meter.measure()
+    if logger is not None:
+        logger.log({f"test/25k_mean_IoU_{tag}": miou,
+                    f"test/25k_total_accuracy_{tag}": tacc,
+                    f"test/25k_mean_accuracy_{tag}": macc})
+    return miou, tacc, macc
+
+
+def build_test_25k(exp, env, output_size):
+    """ScanNet-25k test split dataset, or None when the split file isn't on
+    disk (the shipped split.npz is a large-blob placeholder upstream)."""
+    cfg_dm = exp["data_module"]
+    split_file = cfg_dm.get("data_preprocessing", {}).get("split_file")
+    if not split_file:
+        return None
+    split_path = os.path.join(env["scannet_frames_25k"], split_file)
+    if not os.path.isfile(split_path):
+        return None
+    split = load_split(split_path)
+    return ScanNet(root=env["scannet_frames_25k"], img_list=split["test"],
+                   mode="test", output_size=output_size)
+
+
 def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
           prev_exp_name="one_step_nerf_only", model=None):
     seed_everything(args.seed)
@@ -93,10 +126,12 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
         batch_stats = jax.tree.map(jnp.asarray, batch_stats)
         state = (params, batch_stats, trainer.tx.init(params))
 
-    # validate → fit → validate (ref :115-118; the 25k "test" needs the 25k
-    # split on disk and runs only when configured)
-    #
+    # validate → test → fit → test (ref train_finetune.py:115-118); the
+    # 25k generalization test runs when the split file exists on disk
+    test_25k = build_test_25k(exp, env, output_size)
     _eval_per_scene(trainer, state, val_ds, num_classes, logger, "val_pre")
+    if test_25k is not None:
+        _eval_25k(trainer, state, test_25k, num_classes, logger, "pre")
 
     lr = float(exp["optimizer"]["lr"])
     meter = SemanticsMeter(num_classes)
@@ -112,6 +147,8 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
                    step=epoch)
 
     _eval_per_scene(trainer, state, val_ds, num_classes, logger, "val")
+    if test_25k is not None:
+        _eval_25k(trainer, state, test_25k, num_classes, logger, "post")
     save_deeplab(os.path.join(model_path, "deeplab_ckpt"), state[0], state[1])
     logger.close()
     return state

@@ -41,11 +41,28 @@ def render_cfgs_from_exp(exp):
     without test_upsample_steps implies a symmetric test budget."""
     from dataclasses import fields
     r = dict(exp.get("renderer", {}))
-    known = {f.name for f in fields(RenderConfig)}
-    base = {k: v for k, v in r.items() if k in known}
+    types = {f.name: f.type for f in fields(RenderConfig)}
+    known = set(types)
+
+    def coerce(k, v):
+        # YAML values pass by field type: a quoted number ("256") becomes
+        # an int/float instead of surfacing as an opaque trace-time error
+        # (bools pass through: bool("false") would be True)
+        t = {"int": int, "float": float}.get(str(types[k]))
+        return t(v) if t is not None and not isinstance(v, bool) else v
+
+    unknown = [k for k in r
+               if k not in known and k[len("test_"):] not in known]
+    if unknown:
+        import warnings
+        warnings.warn(f"renderer config keys not recognized: {unknown} "
+                      f"(known: sorted RenderConfig fields, optionally "
+                      f"test_-prefixed)")
+    base = {k: coerce(k, v) for k, v in r.items() if k in known}
     base.setdefault("num_steps", 256)
     base.setdefault("upsample_steps", 256)
-    test = {k[len("test_"):]: v for k, v in r.items()
+    test = {k[len("test_"):]: coerce(k[len("test_"):], v)
+            for k, v in r.items()
             if k.startswith("test_") and k[len("test_"):] in known}
     test_cfg = None
     if test:

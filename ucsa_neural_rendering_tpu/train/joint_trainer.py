@@ -116,9 +116,10 @@ class JointTrainer:
         self._augment_rendered = jax.jit(self._augment_rendered_impl)
         self._update_grid = jax.jit(self._update_grid_impl,
                                     donate_argnums=(1,))
-        self._pack_table = jax.jit(
-            lambda params: self.nerf_model.pack_table(
-                params, self.test_cfg.packed_max_entries))
+        # max_entries is a static jit arg so a cfg swap after the first pack
+        # recompiles instead of silently reusing the old budget
+        self._pack_table = jax.jit(self.nerf_model.pack_table,
+                                   static_argnums=(1,))
         self._packed_cache = None  # (table array ref, PackedTable)
 
     # ------------------------------------------------------------------- init
@@ -263,7 +264,8 @@ class JointTrainer:
         if self._packed_cache is not None and \
                 self._packed_cache[0] is table:
             return self._packed_cache[1]
-        packed = self._pack_table(nerf_params)
+        packed = self._pack_table(nerf_params,
+                                  self.test_cfg.packed_max_entries)
         if packed.n_packed == 0:
             packed = None
         self._packed_cache = (table, packed)
