@@ -95,6 +95,19 @@ def main():
                                             early_stop=True, stage1_steps=8,
                                             refine_fraction=0.125,
                                             packed_max_entries=2 ** 23),
+        # fp8 cell rows (VERDICT r2 #4): 16 B rows on the packed levels +
+        # a doubled level budget per byte — measure the PSNR cost here
+        "16+16 pk23 fp8": RenderConfig(num_steps=16, upsample_steps=16,
+                                       packed_max_entries=2 ** 23,
+                                       packed_dtype="fp8"),
+        "es16->32+32 k/4 pk23 fp8": RenderConfig(
+            num_steps=32, upsample_steps=32, early_stop=True,
+            stage1_steps=16, refine_fraction=0.25,
+            packed_max_entries=2 ** 23, packed_dtype="fp8"),
+        "es16->32+32 k/4 pk24 fp8": RenderConfig(
+            num_steps=32, upsample_steps=32, early_stop=True,
+            stage1_steps=16, refine_fraction=0.25,
+            packed_max_entries=2 ** 24, packed_dtype="fp8"),
     }
 
     from ucsa_neural_rendering_tpu.ops.renderer import normalize_semantics
@@ -102,20 +115,22 @@ def main():
     # --- cell-packed render tables: build once per budget, time the build --
     packed_tables = {}
 
-    def get_packed(max_entries):
-        if max_entries not in packed_tables:
-            pack = jax.jit(lambda p: model.pack_table(p, max_entries))
+    def get_packed(max_entries, dtype="bf16"):
+        key = (max_entries, dtype)
+        if key not in packed_tables:
+            pack = jax.jit(lambda p: model.pack_table(p, max_entries, dtype))
             pt = pack(params)
             _ = float(jnp.sum(pt.data.astype(jnp.float32)))
             t0 = time.perf_counter()
             pt = pack(params)
             _ = float(jnp.sum(pt.data.astype(jnp.float32)))
             dt = time.perf_counter() - t0
-            print(f"pack(max_entries=2^{int(np.log2(max_entries))}): "
-                  f"n_packed={pt.n_packed}, rows={pt.data.shape[0]:,}, "
-                  f"{dt * 1000:.0f} ms", flush=True)
-            packed_tables[max_entries] = (pt, dt)
-        return packed_tables[max_entries]
+            print(f"pack(max_entries=2^{int(np.log2(max_entries))}, "
+                  f"{dtype}): n_packed={pt.n_packed}, "
+                  f"rows={pt.data.shape[0]:,}, {dt * 1000:.0f} ms",
+                  flush=True)
+            packed_tables[key] = (pt, dt)
+        return packed_tables[key]
 
     def render_with(cfg, packed=None):
         def impl(p, g, pt):
@@ -144,7 +159,7 @@ def main():
     for name, cfg in configs.items():
         packed = None
         if cfg.packed_max_entries:
-            packed, _ = get_packed(cfg.packed_max_entries)
+            packed, _ = get_packed(cfg.packed_max_entries, cfg.packed_dtype)
         ms, psnr, label = render_with(cfg, packed)
         if ref_label is None:
             ref_label = label  # first config = the 32+32 parity budget

@@ -137,7 +137,9 @@ def test_multi_step_driver_chains_checkpoints(fixture_env):
 def test_joint_step_logs_mean_nerf_loss_over_images(fixture_env):
     """The per-image NeRF losses in joint_step must be averaged over the
     batch's images, not overwritten by the last image (the reference logs
-    each image's loss; the epoch mean of per-image means is equivalent)."""
+    each image's loss; the epoch mean of per-image means is equivalent).
+    The scanned batch update must also match B sequential per-image Adam
+    steps bit-for-bit (it IS the reference loop, minus host roundtrips)."""
     import jax
 
     exp = make_exp()
@@ -145,33 +147,53 @@ def test_joint_step_logs_mean_nerf_loss_over_images(fixture_env):
                                       num_classes=NUM_CLASSES,
                                       render_cfg=RENDER_CFG,
                                       **small_trainer_kwargs())
-
     b = 2
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, H, W, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(-1, NUM_CLASSES, (b, H, W)).astype(
+        np.int32))
+    depths = jnp.asarray(np.full((b, H, W), 0.8, np.float32))
+    poses = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)))
+    intrs = jnp.asarray(np.tile(np.array([20.0, 20.0, W / 2, H / 2],
+                                         np.float32), (b, 1)))
+    uoms = jnp.ones(b, jnp.float32)
+    keys = jax.random.split(jax.random.key(5), b)
+
+    # sequential per-image updates (the reference's literal loop)
+    state = trainer.init_nerf(jax.random.key(0))
+    parts_seq = []
+    for i in range(b):
+        state, parts = trainer._nerf_update_image(
+            state, imgs[i], labels[i], depths[i], poses[i], intrs[i],
+            uoms[i], keys[i], None)
+        parts_seq.append(parts)
+
+    # one scanned dispatch from the same init
+    state2 = trainer.init_nerf(jax.random.key(0))
+    state2, parts_mean = trainer._nerf_update_batch(
+        state2, imgs, labels, depths, poses, intrs, uoms, keys, None)
+
+    jax.tree.map(lambda a, c: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(c)), state[0], state2[0])
+    for k2 in parts_mean:
+        want = np.mean([float(p[k2]) for p in parts_seq])
+        assert abs(float(parts_mean[k2]) - want) < 1e-6
+
+    # joint_step propagates the image-mean parts into its logs
     rendered = {"nerf_rgb": jnp.zeros((b, H, W, 3)),
                 "nerf_semantics": jnp.zeros((b, H, W), jnp.int32)}
-    per_image = [1.0, 3.0]
-    calls = {"n": 0}
-
-    def fake_nerf_update(nerf_state, *a, **kw):
-        parts = {"loss_nerf_total": jnp.float32(per_image[calls["n"]])}
-        calls["n"] += 1
-        return nerf_state, parts
-
     trainer.render_frames = lambda *a, **kw: rendered
-    trainer.seg_infer = lambda seg_state, imgs, update_bn=False: (
+    trainer.seg_infer = lambda seg_state, im, update_bn=False: (
         jnp.zeros((b, H, W), jnp.int32), None, seg_state)
-    trainer._nerf_update = fake_nerf_update
-    trainer._augment_rendered = lambda k, rgbs, labels: (rgbs, labels)
+    trainer._nerf_update_all = lambda st, *a: (
+        st, {"loss_nerf_total": jnp.float32(2.0)})
+    trainer._augment_rendered = lambda k, rgbs, lab: (rgbs, lab)
     trainer._seg_update = lambda s, i, l, k: (s, jnp.float32(0.0))
-
     batch_new = {"img": np.zeros((b, H, W, 3), np.float32),
                  "depth": np.ones((b, H, W), np.float32),
-                 "pose": np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)),
-                 "intrinsics": np.tile(np.array(
-                     [20.0, 20.0, W / 2, H / 2], np.float32), (b, 1)),
+                 "pose": np.asarray(poses), "intrinsics": np.asarray(intrs),
                  "one_m_to_scene_uom": np.ones(b, np.float32)}
     _, _, logs = trainer.joint_step(
         ("p", "o"), ("sp", "sb", "so"), None, batch_new, None,
         jax.random.key(0))
-    assert calls["n"] == b
-    assert abs(float(logs["loss_nerf_total"]) - np.mean(per_image)) < 1e-6
+    assert abs(float(logs["loss_nerf_total"]) - 2.0) < 1e-6

@@ -70,6 +70,25 @@ def test_packed_encode_bit_exact(small_spec, table, n_packed):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_packed_encode_fp8_bounded_error(small_spec, table):
+    """fp8 cell rows (RenderConfig.packed_dtype="fp8"): the encode gathers
+    the narrow stored rows and casts after, so the result differs from bf16
+    only by e4m3 quantization of the corner features (~2^-3 relative)."""
+    x = _points()
+    ref = np.asarray(hash_encode(table, x, small_spec), np.float32)
+    pt = build_packed_table(table, small_spec, 3, jnp.float8_e4m3fn)
+    assert pt.data.dtype == jnp.float8_e4m3fn
+    out = np.asarray(hash_encode_packed(table, pt, x, small_spec), np.float32)
+    # unpacked (fine) levels stay bit-identical
+    np.testing.assert_array_equal(out[:, 6:], ref[:, 6:])
+    # e4m3 max relative quantization is 2^-4 per corner; the trilinear blend
+    # bounds the error by that fraction of the largest corner magnitude
+    diff = np.abs(out[:, :6] - ref[:, :6])
+    assert np.max(diff) < 0.07 * float(np.abs(np.asarray(table)).max())
+    rel = diff / np.maximum(np.abs(ref[:, :6]), 0.25)
+    assert np.mean(rel) < 0.04  # e4m3 mean quantization ≈ 2.5% here
+
+
 def test_packed_rows_layout(small_spec, table):
     """Row of cell (x,y,z) holds the 8 corner features in corner-major
     order with corner c offsetting axis a by (c >> a) & 1."""

@@ -324,6 +324,262 @@ def test_nerf_losses_match_reference_math():
     assert abs(float(total) - ref_total) < 1e-5
 
 
+# ------------------------------------------- stage-level trajectory twin
+
+def _twin_weights(C, rng):
+    """Shared init for the tiny twin field: encoder Linear(3→32) (the
+    'encoding' param group, no weight decay), sigma MLP 32→64→16 (1 σ + 15
+    geo), color MLP 18→64→3, semantics MLP 15→64→C — the reference
+    network's topology shrunk to CPU scale (ref network_tcnn_semantics.py:
+    34-100), identical numpy weights on both sides."""
+    def lin(n_in, n_out):
+        s = 1.0 / np.sqrt(n_in)
+        return (rng.uniform(-s, s, size=(n_out, n_in)).astype(np.float32),
+                rng.uniform(-s, s, size=n_out).astype(np.float32))
+    return {
+        "encoder": lin(3, 32),
+        "sigma1": lin(32, 64), "sigma2": lin(64, 16),
+        "color1": lin(18, 64), "color2": lin(64, 3),
+        "sem1": lin(15, 64), "sem2": lin(64, C),
+    }
+
+
+def test_fit_trajectory_matches_torch(ref_renderer):
+    """Stage-level numerical twin of `training_step_nerf`'s update math
+    (VERDICT r2 #3): the reference's renderer.run + forward_nerf_train loss
+    block (ref joint_train_lightning_net.py:167-223,473-513) + its Adam
+    config (encoding group w/o weight decay, net group wd 1e-6, betas
+    (0.9, 0.99), eps 1e-15, ref :899-919) transcribed in torch-CPU, vs our
+    render_rays + nerf_losses + make_nerf_optimizer — same tiny field, same
+    init, same fixed ray batch, N_STEPS updates each. Determinism is pinned
+    (perturb off, det importance sampling) since torch/JAX RNG streams
+    cannot be aligned. Tolerances document fp32 drift: both sides run the
+    same math with different op orderings (XLA fusion vs torch kernels),
+    and Adam's eps=1e-15 makes updates sign-like, so divergence compounds
+    geometrically — loss parity is tight early and loosens with depth."""
+    import torch.nn.functional as F
+    from torch import nn
+
+    C, N_RAYS, N_STEPS, SEM_CKPT_STEP = 6, 96, 40, 10
+    rng = np.random.default_rng(7)
+    w0 = _twin_weights(C, rng)
+
+    # fixed ray batch + targets (ray selection itself is golden-tested via
+    # get_rays parity; the twin pins one batch to isolate the update math)
+    o = rng.uniform(-0.5, 0.5, size=(N_RAYS, 3)).astype(np.float32)
+    d = rng.normal(size=(N_RAYS, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dnorms = (1.0 + rng.uniform(0, 0.4, size=N_RAYS)).astype(np.float32)
+    gt_rgb = rng.uniform(0, 1, size=(N_RAYS, 3)).astype(np.float32)
+    labels = rng.integers(-1, C, size=N_RAYS).astype(np.int64)
+    gt_depth = rng.uniform(0.3, 1.5, size=N_RAYS).astype(np.float32)
+    gt_depth[::9] = 0.0
+    uom = np.float32(1.3)
+
+    # ---------------- torch side: the reference's math, transcribed -------
+    class TwinTorch(ref_renderer.SemanticNeRFRenderer):
+
+        def __init__(self):
+            super().__init__(bound=1, cuda_ray=False, density_scale=1,
+                             num_semantic_classes=C)
+
+            def lin(w):
+                m = nn.Linear(w[0].shape[1], w[0].shape[0])
+                with torch.no_grad():
+                    m.weight.copy_(torch.from_numpy(w[0]))
+                    m.bias.copy_(torch.from_numpy(w[1]))
+                return m
+            self.encoder = lin(w0["encoder"])
+            self.sigma1, self.sigma2 = lin(w0["sigma1"]), lin(w0["sigma2"])
+            self.color1, self.color2 = lin(w0["color1"]), lin(w0["color2"])
+            self.sem1, self.sem2 = lin(w0["sem1"]), lin(w0["sem2"])
+
+        def _geo(self, x):
+            x01 = (x + self.bound) / (2 * self.bound)
+            h = self.sigma2(torch.relu(self.sigma1(
+                torch.relu(self.encoder(x01)))))
+            # trunc_exp (ref nr4seg/nerf/activation.py:7-22)
+            sigma = _TruncExp.apply(h[..., 0])
+            return sigma, h[..., 1:]
+
+        def density(self, x):
+            sigma, geo = self._geo(x)
+            return {"sigma": sigma.unsqueeze(-1), "geo_feat": geo}
+
+        # masked inference, transcribed from the reference network
+        # (ref network_tcnn_semantics.py:147-207)
+        def color(self, x, d, mask=None, sigma=None, geo_feat=None):
+            rgbs = torch.zeros(mask.shape[0], 3)
+            if not mask.any():
+                return rgbs
+            h = torch.sigmoid(self.color2(torch.relu(self.color1(
+                torch.cat([d[mask], geo_feat[mask]], dim=-1)))))
+            rgbs[mask] = h
+            return rgbs
+
+        def semantics(self, x, d, mask=None, sigma=None, geo_feat=None):
+            sem = torch.zeros(mask.shape[0], C)
+            if not mask.any():
+                return sem
+            h = self.sem2(torch.relu(self.sem1(geo_feat[mask])))
+            sem[mask] = F.softmax(h, dim=-1)
+            return sem
+
+    class _TruncExp(torch.autograd.Function):
+
+        @staticmethod
+        def forward(ctx, x):
+            ctx.save_for_backward(x)
+            return torch.exp(x)
+
+        @staticmethod
+        def backward(ctx, g):
+            return g * torch.exp(ctx.saved_tensors[0].clamp(-15, 15))
+
+    ref_model = TwinTorch()
+    # the reference's NeRF optimizer (ref :899-919): Adam, encoding group
+    # without weight decay, net group with 1e-6 (torch-coupled decay)
+    opt = torch.optim.Adam(
+        [{"params": list(ref_model.encoder.parameters())},
+         {"params": (list(ref_model.sigma1.parameters())
+                     + list(ref_model.sigma2.parameters())
+                     + list(ref_model.color1.parameters())
+                     + list(ref_model.color2.parameters())
+                     + list(ref_model.sem1.parameters())
+                     + list(ref_model.sem2.parameters())),
+          "weight_decay": 1e-6}],
+        lr=1e-2, betas=(0.9, 0.99), eps=1e-15)
+
+    t_o, t_d = torch.from_numpy(o)[None], torch.from_numpy(d)[None]
+    t_dn = torch.from_numpy(dnorms)[None, :, None]
+    t_rgb, t_lab = torch.from_numpy(gt_rgb)[None], torch.from_numpy(labels)[None]
+    t_dep = torch.from_numpy(gt_depth)[None]
+
+    orig_pdf = ref_renderer.sample_pdf
+    ref_renderer.sample_pdf = lambda b, w, n, det=False: orig_pdf(
+        b, w, n, det=True)
+    torch_losses = []
+    ref_sem_ckpt = None
+    try:
+        for step_i in range(N_STEPS):
+            if step_i == SEM_CKPT_STEP:
+                with torch.no_grad():
+                    ref_sem_ckpt = ref_model.run(
+                        t_o, t_d, t_dn, num_steps=16, upsample_steps=16,
+                        perturb=False)["semantics"][0].numpy()
+            out = ref_model.run(t_o, t_d, t_dn, num_steps=16,
+                                upsample_steps=16, perturb=False)
+            # forward_nerf_train loss block (ref :201-222)
+            sem = out["semantics"]
+            lab = t_lab.clone()
+            invalid = torch.sum(sem, dim=-1) == 0
+            sem = sem.clone()
+            sem[invalid] = 1
+            sem = sem / torch.sum(sem, dim=-1, keepdim=True)
+            lab[invalid] = -1
+            loss_color = nn.MSELoss(reduction="none")(
+                out["image"], t_rgb).mean()
+            loss_sem = nn.NLLLoss(ignore_index=-1, reduction="none")(
+                torch.log(sem + 1e-15).permute(0, 2, 1), lab).mean()
+            pd, gd = out["depth"], t_dep
+            loss_depth = nn.L1Loss(reduction="none")(
+                pd[gd != 0] / uom, gd[gd != 0]).mean(-1)
+            # training_step_nerf total + manual step (ref :481-513;
+            # GradScaler is a no-op at fp32)
+            loss = loss_color + 0.04 * loss_sem + 0.1 * loss_depth
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            torch_losses.append(float(loss))
+    finally:
+        ref_renderer.sample_pdf = orig_pdf
+
+    # ---------------- JAX side: our update path ---------------------------
+    from ucsa_neural_rendering_tpu.models.activation import trunc_exp
+    from ucsa_neural_rendering_tpu.ops.renderer import (RenderConfig,
+                                                        render_rays)
+    from ucsa_neural_rendering_tpu.train.nerf_trainer import (
+        make_nerf_optimizer, nerf_losses)
+    import optax
+
+    class TwinJax:
+        bound = 1.0
+
+        def apply(self, variables, *args, method=None):
+            p = variables["params"]
+
+            def lin(name, h):
+                return h @ p[name][0].T + p[name][1]
+            if method == "density":
+                x01 = (args[0] + 1.0) / 2.0
+                h = lin("sigma2", jax.nn.relu(lin(
+                    "sigma1", jax.nn.relu(lin("encoder", x01)))))
+                return trunc_exp(h[..., 0]), h[..., 1:]
+            if method == "color":
+                d_, g = args
+                return jax.nn.sigmoid(lin("color2", jax.nn.relu(
+                    lin("color1", jnp.concatenate([d_, g], -1)))))
+            if method == "semantics":
+                return jax.nn.softmax(lin("sem2", jax.nn.relu(
+                    lin("sem1", args[0]))), axis=-1)
+            raise ValueError(method)
+
+    # param pytree: "encoder" at top level → excluded from weight decay by
+    # make_nerf_optimizer's mask, mirroring the reference's param groups
+    params = {k: (jnp.asarray(w[0]), jnp.asarray(w[1]))
+              for k, w in w0.items()}
+    model = TwinJax()
+    tx = make_nerf_optimizer(1e-2)
+    opt_state = tx.init(params)
+    cfg = RenderConfig(num_steps=16, upsample_steps=16, remat=False)
+    j_o, j_d, j_dn = jnp.asarray(o), jnp.asarray(d), jnp.asarray(dnorms)
+    j_rgb, j_lab = jnp.asarray(gt_rgb), jnp.asarray(labels.astype(np.int32))
+    j_dep = jnp.asarray(gt_depth)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = render_rays(model, {"params": p}, j_o, j_d, j_dn, None,
+                              cfg, None)
+            return nerf_losses(out, j_rgb, j_lab, j_dep, jnp.float32(uom), C)
+        (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, total
+
+    jax_losses = []
+    my_sem_ckpt = None
+    for step_i in range(N_STEPS):
+        if step_i == SEM_CKPT_STEP:
+            out = render_rays(model, {"params": params}, j_o, j_d, j_dn,
+                              None, cfg, None)
+            my_sem_ckpt = np.asarray(out["semantics"])
+        params, opt_state, total = step(params, opt_state)
+        jax_losses.append(float(total))
+
+    torch_losses = np.array(torch_losses)
+    jax_losses = np.array(jax_losses)
+    # documented fp tolerance: <=0.1% relative for the first 10 steps,
+    # <=2% anywhere along the 40-step trajectory (drift compounds through
+    # Adam's eps=1e-15 normalization), and both sides must actually FIT
+    # (final loss well below initial)
+    np.testing.assert_allclose(jax_losses[:10], torch_losses[:10], rtol=1e-3)
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-2)
+    # both sides actually descend (random fixed targets have an irreducible
+    # floor; 40 steps shaves ~20% — parity of the curves is the real claim)
+    assert jax_losses[-1] < 0.9 * jax_losses[0]
+    assert torch_losses[-1] < 0.9 * torch_losses[0]
+
+    # rendered semantics agree mid-trajectory (step 10). The ENDPOINT is not
+    # comparable: the random fixed labels are spatially inconsistent, so the
+    # semantics objective has a continuum of equal-loss minima; Adam's
+    # eps=1e-15 makes updates sign-like and the two stacks drift to
+    # different-but-equally-good parameters while their LOSS curves stay
+    # within 2% (asserted above) — which is exactly why the trajectory, not
+    # the endpoint, is the meaningful parity claim.
+    np.testing.assert_allclose(my_sem_ckpt, ref_sem_ckpt, atol=3e-3)
+    assert (my_sem_ckpt.argmax(-1) == ref_sem_ckpt.argmax(-1)).mean() >= 0.95
+
+
 # -------------------------------------------------------------------- meter
 
 def test_semantics_meter_matches_reference():

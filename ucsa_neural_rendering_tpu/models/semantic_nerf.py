@@ -125,11 +125,14 @@ class SemanticNeRF(nn.Module):
         geo_feat = h[..., 1:]
         return sigma, geo_feat
 
-    def pack_table(self, params, max_entries: int, dtype=jnp.bfloat16):
+    def pack_table(self, params, max_entries: int, dtype="bf16"):
         """Build the cell-packed render table from this model's params tree
         (see models/packed_table.py). max_entries bounds the per-level cell
-        count that gets packed; returns PackedTable (n_packed may be 0)."""
+        count that gets packed; returns PackedTable (n_packed may be 0).
+        dtype: "bf16" | "fp8" (or a jnp dtype) — the stored row dtype."""
         from .packed_table import build_packed_table, choose_n_packed
+        dtype = {"bf16": jnp.bfloat16,
+                 "fp8": jnp.float8_e4m3fn}.get(dtype, dtype)
         spec = self.grid_spec()
         n_packed = choose_n_packed(spec, max_entries)
         return build_packed_table(params["encoder"]["table"], spec, n_packed,

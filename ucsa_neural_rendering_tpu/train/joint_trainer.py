@@ -110,16 +110,19 @@ class JointTrainer:
         # pytree structure, so occ_grid=None vs an array trace separately
         self._nerf_update_image = jax.jit(self._nerf_update_image_impl,
                                           donate_argnums=(0,))
+        self._nerf_update_batch = jax.jit(self._nerf_update_batch_impl,
+                                          donate_argnums=(0,))
         self._render_frame_jit = jax.jit(self._render_frame_impl)
+        self._render_frames_jit = jax.jit(self._render_frames_impl)
         self._seg_update = jax.jit(self._seg_update_impl,
                                    donate_argnums=(0,))
         self._augment_rendered = jax.jit(self._augment_rendered_impl)
         self._update_grid = jax.jit(self._update_grid_impl,
                                     donate_argnums=(1,))
-        # max_entries is a static jit arg so a cfg swap after the first pack
-        # recompiles instead of silently reusing the old budget
+        # max_entries/dtype are static jit args so a cfg swap after the
+        # first pack recompiles instead of silently reusing the old budget
         self._pack_table = jax.jit(self.nerf_model.pack_table,
-                                   static_argnums=(1,))
+                                   static_argnums=(1, 2))
         self._packed_cache = None  # (table array ref, PackedTable)
 
     # ------------------------------------------------------------------- init
@@ -230,6 +233,24 @@ class JointTrainer:
         params = optax.apply_updates(params, updates)
         return (params, opt_state), parts
 
+    def _nerf_update_batch_impl(self, nerf_state, images, labels, depths,
+                                poses, intrs, uoms, keys, occ_grid=None):
+        """The reference's per-image NeRF update loop (ref :481-513) as ONE
+        lax.scan dispatch: B sequential Adam steps (identical numerics to B
+        separate calls) without B host roundtrips (~35 ms each on this
+        host). Returns (state, image-mean of the loss parts)."""
+
+        def body(state, xs):
+            img, lab, dep, pose, intr, uom, key = xs
+            return self._nerf_update_image_impl(state, img, lab, dep, pose,
+                                                intr, uom, key, occ_grid)
+
+        nerf_state, parts = jax.lax.scan(
+            body, nerf_state, (images, labels, depths, poses, intrs, uoms,
+                               keys))
+        return nerf_state, jax.tree_util.tree_map(
+            lambda x: jnp.mean(x, axis=0), parts)
+
     # ------------------------------------------------------------- rendering
     def _render_frame_impl(self, nerf_params, pose, intrinsics,
                            occ_grid=None, packed=None):
@@ -265,7 +286,8 @@ class JointTrainer:
                 self._packed_cache[0] is table:
             return self._packed_cache[1]
         packed = self._pack_table(nerf_params,
-                                  self.test_cfg.packed_max_entries)
+                                  self.test_cfg.packed_max_entries,
+                                  self.test_cfg.packed_dtype)
         if packed.n_packed == 0:
             packed = None
         self._packed_cache = (table, packed)
@@ -275,12 +297,47 @@ class JointTrainer:
         return self._render_frame_jit(nerf_params, pose, intrinsics, occ_grid,
                                       self.packed_for(nerf_params))
 
-    def render_frames(self, nerf_params, poses, intrinsics, occ_grid=None):
-        """Render B frames sequentially (each internally chunked)."""
-        outs = [self._render_frame(nerf_params, poses[b], intrinsics,
-                                   occ_grid)
-                for b in range(poses.shape[0])]
-        return {k: jnp.stack([o[k] for o in outs], 0) for k in outs[0]}
+    def _render_frames_impl(self, nerf_params, poses, intrinsics,
+                            occ_grid=None, packed=None):
+        """G frames in ONE dispatch: per-pose rays concatenate into a single
+        staged render (lax.map already bounds memory per 4096-ray chunk, so
+        G frames only add chunks). The per-frame dispatch roundtrip is
+        ~35 ms on this host (PERFORMANCE.md) and the predict phase renders
+        hundreds of frames per stage — batching frames is pure win."""
+        g = poses.shape[0]
+
+        def rays_of(pose):
+            r = get_rays(pose, intrinsics, self.H, self.W)
+            return r["rays_o"], r["rays_d"], r["direction_norms"]
+
+        ro, rd, dn = jax.vmap(rays_of)(poses)
+        out = render_rays_staged(self.nerf_model, {"params": nerf_params},
+                                 ro.reshape(-1, 3), rd.reshape(-1, 3),
+                                 dn.reshape(-1), self.test_cfg, occ_grid,
+                                 mesh=self.mesh, packed=packed)
+        sem, invalid = normalize_semantics(out["semantics"])
+        H, W = self.H, self.W
+        return {
+            "nerf_rgb": out["image"].reshape(g, H, W, 3),
+            "nerf_semantics": jnp.argmax(sem, -1).reshape(g, H, W),
+            "nerf_semantics_raw": sem.reshape(g, H, W, -1),
+            "nerf_depth": out["depth"].reshape(g, H, W),
+        }
+
+    def render_frames(self, nerf_params, poses, intrinsics, occ_grid=None,
+                      group=4):
+        """Render B frames in batched dispatches of up to `group` frames.
+
+        One compile per distinct slice size (the joint batch is constant per
+        stage and predict tails produce at most one extra size)."""
+        poses = jnp.asarray(poses)
+        packed = self.packed_for(nerf_params)
+        outs = []
+        for s in range(0, poses.shape[0], group):
+            outs.append(self._render_frames_jit(
+                nerf_params, poses[s:s + group], intrinsics, occ_grid,
+                packed))
+        return {k: jnp.concatenate([o[k] for o in outs], 0) for k in outs[0]}
 
     # ---------------------------------------------------------- augmentation
     def _augment_rendered_impl(self, key, rgbs, labels):
@@ -325,27 +382,31 @@ class JointTrainer:
         return self._nerf_update_image(nerf_state, image, label, depth,
                                        pose, intr, uom, key, occ_grid)
 
+    def _nerf_update_all(self, nerf_state, images, pseudo, depths, poses,
+                         intrs, uoms, key, occ_grid):
+        """B per-image Adam steps in one scanned dispatch; returns
+        (state, image-mean loss parts) — the mean of per-image means is what
+        the reference's epoch logging reduces to (ref :496-507)."""
+        b = images.shape[0]
+        keys = jax.random.split(key, b)
+        return self._nerf_update_batch(
+            nerf_state, jnp.asarray(images), pseudo, jnp.asarray(depths),
+            jnp.asarray(poses), jnp.asarray(intrs), jnp.asarray(uoms), keys,
+            occ_grid)
+
     def nerf_fit_step(self, nerf_state, seg_state, batch, key, occ_grid=None):
         """Phase-1 step (ref training_step_nerf :473-513): seg pseudo-labels
-        (no BN update), then one NeRF Adam step per image.
+        (no BN update), then one NeRF Adam step per image (scanned into a
+        single dispatch).
 
         batch: numpy/JAX dict with img [B,H,W,3], depth [B,H,W], pose [B,4,4],
         intrinsics [B,4], one_m_to_scene_uom [B]. Returns (nerf_state, logs).
         """
         pseudo, _, _ = self.seg_infer(seg_state, batch["img"], update_bn=False)
-        acc = {}
-        b = batch["img"].shape[0]
-        for i in range(b):
-            key, k = jax.random.split(key)
-            nerf_state, parts = self._nerf_update(
-                nerf_state, batch["img"][i], pseudo[i], batch["depth"][i],
-                batch["pose"][i], batch["intrinsics"][i],
-                batch["one_m_to_scene_uom"][i], k, occ_grid)
-            # accumulate device scalars (mean over images); the loop converts
-            # once when it actually logs — no per-image host syncs
-            for k2, v in parts.items():
-                acc[k2] = acc.get(k2, 0.0) + v / b
-        return nerf_state, acc
+        nerf_state, parts = self._nerf_update_all(
+            nerf_state, batch["img"], pseudo, batch["depth"], batch["pose"],
+            batch["intrinsics"], batch["one_m_to_scene_uom"], key, occ_grid)
+        return nerf_state, dict(parts)
 
     def joint_step(self, nerf_state, seg_state, batch_old, batch_new,
                    batch_cl, key, occ_grid=None):
@@ -365,20 +426,14 @@ class JointTrainer:
                 pseudo, _, seg_state = self.seg_infer(
                     seg_state, jnp.asarray(batch_new["img"]),
                     update_bn=b > 1)
-                for i in range(b):
-                    key, k = jax.random.split(key)
-                    nerf_state, parts = self._nerf_update(
-                        nerf_state, jnp.asarray(batch_new["img"][i]),
-                        pseudo[i], jnp.asarray(batch_new["depth"][i]),
-                        jnp.asarray(batch_new["pose"][i]),
-                        jnp.asarray(batch_new["intrinsics"][i]),
-                        jnp.asarray(batch_new["one_m_to_scene_uom"][i]), k,
-                        occ_grid)
-                    # mean over the batch's images (ref logs per-image; an
-                    # epoch mean of per-image means is the equivalent) — a
-                    # plain dict.update here would keep only the LAST image
-                    for k2, v in parts.items():
-                        logs[k2] = logs.get(k2, 0.0) + v / b
+                key, k = jax.random.split(key)
+                # image-MEAN loss parts (ref logs per-image; an epoch mean
+                # of per-image means is the equivalent)
+                nerf_state, parts = self._nerf_update_all(
+                    nerf_state, batch_new["img"], pseudo, batch_new["depth"],
+                    batch_new["pose"], batch_new["intrinsics"],
+                    batch_new["one_m_to_scene_uom"], k, occ_grid)
+                logs.update(parts)
 
         # ---- assemble seg batch (ref :419-454) ----
         imgs, labels = [], []

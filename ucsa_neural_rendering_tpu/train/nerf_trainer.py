@@ -105,10 +105,10 @@ class NeRFTrainer:
         self._render_image = jax.jit(self._render_image_impl)
         self._update_grid = jax.jit(self._update_grid_impl,
                                     donate_argnums=(1,))
-        # max_entries is a static jit arg so a cfg swap after the first pack
-        # recompiles instead of silently reusing the old budget
+        # max_entries/dtype are static jit args so a cfg swap after the
+        # first pack recompiles instead of silently reusing the old budget
         self._pack_table = jax.jit(self.model.pack_table,
-                                   static_argnums=(1,))
+                                   static_argnums=(1, 2))
         self._packed_cache = None  # (table array ref, PackedTable)
 
     def _shard_rays(self, *arrays):
@@ -236,7 +236,8 @@ class NeRFTrainer:
         if self._packed_cache is not None and \
                 self._packed_cache[0] is table:
             return self._packed_cache[1]
-        packed = self._pack_table(params, self.cfg.packed_max_entries)
+        packed = self._pack_table(params, self.cfg.packed_max_entries,
+                                  self.cfg.packed_dtype)
         if packed.n_packed == 0:
             packed = None
         self._packed_cache = (table, packed)
