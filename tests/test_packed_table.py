@@ -200,13 +200,15 @@ def test_packed_train_grad_parity(small_spec, table):
         np.asarray(jax.grad(loss_stoch)(table)))
 
 
-def test_train_step_packed_matches_unpacked():
+def test_train_step_packed_matches_unpacked(monkeypatch):
     """A full NeRFTrainer step with train_packed_max_entries produces the
     same params as the unpacked step (packing is a pure forward relayout;
-    the VJP is shared)."""
+    the VJP is shared). Train packing is TPU-gated since round 3, so force
+    it on for this CPU equality check."""
     from dataclasses import replace
 
     from ucsa_neural_rendering_tpu.train import NeRFTrainer
+    monkeypatch.setenv("UCSA_TRAIN_PACKED_ON_CPU", "1")
 
     H, W = 24, 32
     model = SemanticNeRF(bound=1.0, num_semantic_classes=5, n_levels=4,

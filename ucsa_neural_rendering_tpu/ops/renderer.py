@@ -90,8 +90,13 @@ class RenderConfig:
     # (backward still writes the raw table via the custom VJP —
     # hash_encode_packed_train). Rebuild cost is one ~budget-row gather;
     # profitable when the per-step forward reads far more rows than the
-    # pack writes. 0 disables (default until measured on hardware).
-    train_packed_max_entries: int = 0
+    # pack writes. Measured on-chip (PERFORMANCE.md train-step ladder):
+    # pk21 drops the 32+32 step 295 -> 265 ms with updates equal to the
+    # unpacked step (table leaf exact, MLP leaves within 1 ULP of XLA
+    # matmul reassociation) — default ON at 2^21 since round 3; trainers
+    # gate it to the TPU backend (on CPU it only adds compile time).
+    # 0 disables.
+    train_packed_max_entries: int = 2 ** 21
     # rematerialize the MLP/hash-encoding evaluations in the backward pass,
     # trading an extra density evaluation (the expensive gathers!) for
     # activation memory. Since the hash VJP recomputes indices/weights in
@@ -126,6 +131,17 @@ def _shard_rays(mesh, *arrays):
     return tuple(
         jax.lax.with_sharding_constraint(a, sh) if a.shape[0] % n == 0 else a
         for a in arrays)
+
+
+def train_packing_enabled() -> bool:
+    """Whether train-step packing (RenderConfig.train_packed_max_entries)
+    actually engages: TPU only — on CPU backends (tests, virtual meshes) it
+    only adds compile time. UCSA_TRAIN_PACKED_ON_CPU=1 forces it on for the
+    CPU equality tests."""
+    import os
+    import jax
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("UCSA_TRAIN_PACKED_ON_CPU") == "1")
 
 
 def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,

@@ -34,7 +34,7 @@ from ..models.deeplabv3 import DeepLabV3
 from ..models.semantic_nerf import SemanticNeRF
 from ..ops.occupancy import OccupancyConfig, init_grid, update_grid
 from ..ops.renderer import (RenderConfig, normalize_semantics, render_rays,
-                            render_rays_staged)
+                            render_rays_staged, train_packing_enabled)
 from .nerf_trainer import make_nerf_optimizer, nerf_losses
 from .seg_trainer import cross_entropy_ignore, make_seg_optimizer
 
@@ -217,7 +217,8 @@ class JointTrainer:
 
         def loss_fn(p):
             packed = None
-            if self.cfg.train_packed_max_entries > 0:
+            if self.cfg.train_packed_max_entries > 0 and \
+                    train_packing_enabled():
                 packed = jax.lax.stop_gradient(self.nerf_model.pack_table(
                     p, self.cfg.train_packed_max_entries))
                 if packed.n_packed == 0:

@@ -23,7 +23,7 @@ from ..data.rays import get_rays_sampled
 from ..models.semantic_nerf import SemanticNeRF
 from ..ops.occupancy import OccupancyConfig, init_grid, update_grid
 from ..ops.renderer import (RenderConfig, normalize_semantics, render_rays,
-                            render_rays_staged)
+                            render_rays_staged, train_packing_enabled)
 
 
 def make_nerf_optimizer(lr: float = 1e-2, weight_decay: float = 1e-6):
@@ -175,7 +175,8 @@ class NeRFTrainer:
 
         def loss_fn(p):
             packed = None
-            if self.cfg.train_packed_max_entries > 0:
+            if self.cfg.train_packed_max_entries > 0 and \
+                    train_packing_enabled():
                 # per-step relayout of the coarse levels: forward gathers one
                 # row per (point, packed level); the custom VJP still writes
                 # gradients to the raw table (hash_encode_packed_train)
