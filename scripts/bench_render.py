@@ -187,8 +187,8 @@ def main():
         print(f"stage1={s1:3d} samples: {frac * 100:.1f}% rays terminated",
               flush=True)
 
-    for me, (pt, dt) in packed_tables.items():
-        results[f"pack_ms@2^{int(np.log2(me))}"] = round(dt * 1000, 1)
+    for (me, dtype), (pt, dt) in packed_tables.items():
+        results[f"pack_ms@2^{int(np.log2(me))}_{dtype}"] = round(dt * 1000, 1)
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "render_bench.json"), "w") as f:

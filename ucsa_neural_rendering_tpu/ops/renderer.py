@@ -70,12 +70,13 @@ class RenderConfig:
     # sample 128 → 79). 0 disables. Trainers build/cache the PackedTable per
     # params version and hand it to the render entry points.
     packed_max_entries: int = 8 * 1024 * 1024
-    # storage dtype of the packed cell rows: "bf16" (exact relayout) or
-    # "fp8" (float8_e4m3 rows — 16 B instead of 32 B per cell row, ~1.4x on
-    # the measured gather-latency curve, and double the level budget per
-    # byte; quantization error is measured in scripts/bench_render.py —
-    # render-only, training always reads the f32 table)
-    packed_dtype: str = "bf16"
+    # storage dtype of the packed cell rows: "fp8" (float8_e4m3 rows — 16 B
+    # instead of 32 B per cell row) or "bf16" (exact relayout). Measured on
+    # the fitted room (scripts/bench_render.py, round 3): fp8 renders
+    # 10-14% faster at -0.01 dB with bit-identical semantic labels, so it
+    # is the default; render-only — training always reads the f32 table
+    # (train packing stays bf16).
+    packed_dtype: str = "fp8"
     # probe-placement rendering (render-only): the coarse density pass runs
     # with the CHEAP probe encoding (packed levels exact + fine levels
     # single-corner-sampled, ~n_levels rows/point instead of 8*n_levels) and
