@@ -580,6 +580,101 @@ def test_fit_trajectory_matches_torch(ref_renderer):
     assert (my_sem_ckpt.argmax(-1) == ref_sem_ckpt.argmax(-1)).mean() >= 0.95
 
 
+@pytest.mark.parametrize("opt_cfg", [
+    {"name": "Adam", "lr": 1e-3},
+    {"name": "SGD", "lr": 1e-2,
+     "sgd_cfg": {"momentum": 0.9, "weight_decay": 1e-4}},
+    {"name": "Adadelta", "lr": 0.5},
+    {"name": "RMSprop", "lr": 1e-3},
+])
+def test_seg_fit_trajectory_matches_torch(opt_cfg):
+    """Seg-side update-math twin (the counterpart of the NeRF trajectory
+    test above): the reference's training step — F.cross_entropy applied to
+    SOFTMAX outputs (the double-softmax quirk, ref semantics_lightning_net
+    .py:74-80) with ignore_index=-1 and its optimizer zoo (ref :155-173,
+    876-897: Adam / SGD(momentum, wd) / Adadelta / RMSprop(momentum 0.9)) —
+    vs our cross_entropy_ignore(double_softmax=True) + make_seg_optimizer,
+    30 steps on an identical tiny conv net from identical init."""
+    from torch import nn
+    import torch.nn.functional as F
+
+    from ucsa_neural_rendering_tpu.train.seg_trainer import (
+        cross_entropy_ignore, make_seg_optimizer)
+    import optax
+
+    C, H, W, B, N_STEPS = 5, 8, 10, 2, 30
+    rng = np.random.default_rng(11)
+    w1 = rng.uniform(-0.2, 0.2, (8, 3, 3, 3)).astype(np.float32)
+    b1 = rng.uniform(-0.1, 0.1, 8).astype(np.float32)
+    w2 = rng.uniform(-0.3, 0.3, (C, 8, 1, 1)).astype(np.float32)
+    b2 = rng.uniform(-0.1, 0.1, C).astype(np.float32)
+    imgs = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    labels = rng.integers(-1, C, (B, H, W)).astype(np.int64)
+
+    # torch side
+    conv1 = nn.Conv2d(3, 8, 3, padding=1)
+    conv2 = nn.Conv2d(8, C, 1)
+    with torch.no_grad():
+        conv1.weight.copy_(torch.from_numpy(w1))
+        conv1.bias.copy_(torch.from_numpy(b1))
+        conv2.weight.copy_(torch.from_numpy(w2))
+        conv2.bias.copy_(torch.from_numpy(b2))
+    t_params = list(conv1.parameters()) + list(conv2.parameters())
+    lr = opt_cfg["lr"]
+    if opt_cfg["name"] == "Adam":
+        opt = torch.optim.Adam(t_params, lr=lr)
+    elif opt_cfg["name"] == "SGD":
+        sgd = opt_cfg["sgd_cfg"]
+        opt = torch.optim.SGD(t_params, lr=lr, momentum=sgd["momentum"],
+                              weight_decay=sgd["weight_decay"])
+    elif opt_cfg["name"] == "Adadelta":
+        opt = torch.optim.Adadelta(t_params, lr=lr)
+    else:
+        opt = torch.optim.RMSprop(t_params, lr=lr, momentum=0.9)
+    t_img = torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+    t_lab = torch.from_numpy(labels)
+    torch_losses = []
+    for _ in range(N_STEPS):
+        logits = conv2(torch.relu(conv1(t_img)))
+        probs = F.softmax(logits, dim=1)  # the reference's quirk: CE on
+        loss = F.cross_entropy(probs, t_lab, ignore_index=-1)  # softmax
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss))
+
+    # jax side: same math in NHWC
+    params = {"w1": jnp.asarray(w1.transpose(2, 3, 1, 0)),
+              "b1": jnp.asarray(b1),
+              "w2": jnp.asarray(w2.transpose(2, 3, 1, 0)),
+              "b2": jnp.asarray(b2)}
+    tx = make_seg_optimizer(opt_cfg)
+    opt_state = tx.init(params)
+    j_img, j_lab = jnp.asarray(imgs), jnp.asarray(labels.astype(np.int32))
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            h = jax.lax.conv_general_dilated(
+                j_img, p["w1"], (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b1"]
+            logits = jax.lax.conv_general_dilated(
+                jax.nn.relu(h), p["w2"], (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b2"]
+            return cross_entropy_ignore(logits, j_lab, double_softmax=True)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jax_losses = []
+    for _ in range(N_STEPS):
+        params, opt_state, loss = step(params, opt_state)
+        jax_losses.append(float(loss))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-4)
+    assert jax_losses[-1] < jax_losses[0]
+
+
 # -------------------------------------------------------------------- meter
 
 def test_semantics_meter_matches_reference():

@@ -66,9 +66,29 @@ def make_seg_optimizer(cfg_optimizer: dict, lr_key: str = "lr"):
     elif name == "Adadelta":
         make = lambda learning_rate: optax.adadelta(learning_rate)
     elif name == "RMSprop":
-        # torch.optim.RMSprop defaults: alpha=0.99, eps=1e-8
-        make = lambda learning_rate: optax.rmsprop(
-            learning_rate, decay=0.99, eps=1e-8, momentum=0.9)
+        # torch.optim.RMSprop semantics (defaults alpha=0.99, eps=1e-8,
+        # momentum=0.9 as the reference passes, ref :894-896). optax's
+        # rmsprop puts eps INSIDE the sqrt (sqrt(nu + eps)); torch puts it
+        # outside (sqrt(nu) + eps) — transcribed exactly (trajectory-twin
+        # tested vs torch in test_reference_parity.py).
+        def make(learning_rate, alpha=0.99, eps=1e-8, momentum=0.9):
+            def init(params):
+                z = jax.tree_util.tree_map(jnp.zeros_like, params)
+                return {"nu": z, "buf": jax.tree_util.tree_map(
+                    jnp.zeros_like, params)}
+
+            def update(grads, state, params=None):
+                nu = jax.tree_util.tree_map(
+                    lambda n, g: alpha * n + (1 - alpha) * g * g,
+                    state["nu"], grads)
+                buf = jax.tree_util.tree_map(
+                    lambda b, g, n: momentum * b + g / (jnp.sqrt(n) + eps),
+                    state["buf"], grads, nu)
+                updates = jax.tree_util.tree_map(
+                    lambda b: -learning_rate * b, buf)
+                return updates, {"nu": nu, "buf": buf}
+
+            return optax.GradientTransformation(init, update)
     else:
         raise ValueError(f"unknown optimizer {name}")
     return optax.inject_hyperparams(make)(learning_rate=lr)
