@@ -93,6 +93,15 @@ def main():
               f"({args.nerf_epochs} NeRF epochs x {args.frames} frames + "
               f"{args.joint_epochs} joint epochs + test + predict, "
               f"{H}x{W}, full-size models)", flush=True)
+        if os.environ.get("PIPE_CLEAR_CACHES") == "1":
+            # repeated stages in one process degrade (suspect: jit caches of
+            # dead trainers pinning device buffers); measure the fix the CL
+            # driver would use between stages
+            import gc
+
+            import jax
+            gc.collect()
+            jax.clear_caches()
     shutil.rmtree(root, ignore_errors=True)
 
 

@@ -50,4 +50,15 @@ def main(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
                                   val_scene_list=val_scene_list,
                                   trainer_kwargs=trainer_kwargs)
         results.append(states)
+        # drop the finished stage's executables + device constants before
+        # the next stage builds fresh trainers (each stage creates new jit
+        # wrappers anyway, so nothing useful is lost — the persistent disk
+        # compile cache absorbs the retraces). Bounds device/host memory
+        # growth over the 10-stage reference protocol.
+        if i + 1 < len(scene_order):
+            import gc
+
+            import jax
+            gc.collect()
+            jax.clear_caches()
     return results
