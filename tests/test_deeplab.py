@@ -179,3 +179,47 @@ def test_bilinear_resize_matches_torch(rng):
                         align_corners=False).numpy().transpose(0, 2, 3, 1)
     out = resize_bilinear(jnp.asarray(x), (19, 23))
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_compute_close_to_f32(rng):
+    """bf16 compute dtype (opt-in accel for large per-chip batches):
+    identical param tree,
+    logits within bf16 rounding of the f32 model, labels overwhelmingly
+    equal. Params / BN stats / upsampled logits stay f32."""
+    from ucsa_neural_rendering_tpu.models import TINY_LAYOUT, seg_compute_dtype
+
+    kw = dict(num_classes=9, backbone_layout=TINY_LAYOUT, aspp_channels=12,
+              head_channels=12)
+    m32 = DeepLabV3(dtype=jnp.float32, **kw)
+    m16 = DeepLabV3(dtype=jnp.bfloat16, **kw)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 48, 64, 3)).astype(np.float32))
+    variables = m32.init(jax.random.key(0), x, use_running_average=False)
+    # same tree works in both models (param_dtype is f32 in both)
+    o32 = m32.apply(variables, x)["out"]
+    o16 = m16.apply(variables, x)["out"]
+    assert o16.dtype == jnp.float32  # resize upcasts before the loss
+    scale = float(jnp.max(jnp.abs(o32)))
+    assert float(jnp.max(jnp.abs(o16 - o32))) < 0.05 * max(scale, 1.0)
+    agree = float(jnp.mean(jnp.argmax(o16, -1) == jnp.argmax(o32, -1)))
+    assert agree > 0.98
+
+    # train step under bf16 compute: runs, loss finite, grads land in f32
+    from ucsa_neural_rendering_tpu.train.seg_trainer import SegTrainer
+    tr = SegTrainer(m16, {"name": "Adam", "lr": 1e-3})
+    state = tr.init(jax.random.key(1), image_hw=(48, 64))
+    labels = jnp.asarray(rng.integers(-1, 9, (2, 48, 64)).astype(np.int32))
+    state2, loss, conf = tr.train_step(state, x, labels, 1e-3)
+    assert np.isfinite(float(loss))
+    leaf = jax.tree_util.tree_leaves(state2[0])[0]
+    assert leaf.dtype == jnp.float32
+
+
+def test_seg_compute_dtype_config():
+    from ucsa_neural_rendering_tpu.models import seg_compute_dtype
+    # explicit override always wins
+    assert seg_compute_dtype({"compute_dtype": "float32"}) == jnp.float32
+    assert seg_compute_dtype({"compute_dtype": "bfloat16"}) == jnp.bfloat16
+    # default: f32 everywhere (measured neutral-to-worse at the
+    # reference's batch size on TPU; see PERFORMANCE.md round 3)
+    assert seg_compute_dtype({}) == jnp.float32
+    assert seg_compute_dtype(None) == jnp.float32

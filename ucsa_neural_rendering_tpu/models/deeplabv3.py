@@ -42,7 +42,10 @@ class ASPP(nn.Module):
                      padding=[(rate, rate)] * 2, name=f"aspp_conv{bi}")(x)
             branches.append(nn.relu(bn(name=f"aspp_bn{bi}")(h)))
         # image-pooling branch: global mean → 1x1 conv → broadcast back
-        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        # (mean accumulates in f32 even under bf16 compute: ~1.2k-element
+        # reductions lose mass in bf16)
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2),
+                          keepdims=True).astype(x.dtype)
         h = conv(self.out_channels, (1, 1), name="aspp_conv4")(pooled)
         h = nn.relu(bn(name="aspp_bn4")(h))
         h = jnp.broadcast_to(h, x.shape[:3] + (self.out_channels,))
@@ -53,6 +56,25 @@ class ASPP(nn.Module):
         h = nn.relu(bn(name="aspp_project_bn")(h))
         h = nn.Dropout(0.5, deterministic=deterministic)(h)
         return h
+
+
+def seg_compute_dtype(model_cfg: dict = None):
+    """Compute dtype for the seg model from `exp["model"]["compute_dtype"]`.
+
+    Default f32 — matching the torch reference, which trains the seg net in
+    f32 (ref scripts/pretrain.py, no AMP) — and it is FREE on TPU: XLA
+    already lowers f32 convs to bf16 MXU passes with f32 accumulation, so
+    at the reference's own batch size (4, cfg/exp/pretrain_*.yml) model-
+    level bf16 measures 1.01x train / 0.90x eval (scripts/bench_seg.py,
+    PERFORMANCE.md round 3). `compute_dtype: bfloat16` is the measured
+    opt-in for larger per-chip batches (1.24x train at batch 16), where
+    halved activation traffic starts to pay; params, BN statistics (flax
+    computes batch stats in f32 regardless of `dtype`), the bilinear
+    upsample, and the CE loss stay f32, and labels agree with f32 to 99.9%
+    (tests/test_deeplab.py).
+    """
+    name = (model_cfg or {}).get("compute_dtype", None)
+    return jnp.dtype(name) if name is not None else jnp.float32
 
 
 def resize_bilinear(x, out_hw):

@@ -15,7 +15,7 @@ import numpy as np
 
 from ..data import (DataLoader, ScanNet, ScanNetCL, ScanNetNGP, load_split)
 from ..metrics import SemanticsMeter
-from ..models import DeepLabV3
+from ..models import DeepLabV3, seg_compute_dtype
 from .checkpoints import load_deeplab, save_deeplab
 from .experiment import seed_everything, setup_experiment
 from .pretrain_loop import run_epoch

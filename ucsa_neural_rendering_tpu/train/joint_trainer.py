@@ -30,7 +30,7 @@ import optax
 
 from ..data.augmentation import augment
 from ..data.rays import get_rays, get_rays_sampled
-from ..models.deeplabv3 import DeepLabV3
+from ..models.deeplabv3 import DeepLabV3, seg_compute_dtype
 from ..models.semantic_nerf import SemanticNeRF
 from ..ops.occupancy import OccupancyConfig, init_grid, update_grid
 from ..ops.renderer import (RenderConfig, normalize_semantics, render_rays,
@@ -92,7 +92,9 @@ class JointTrainer:
         # (ref :29-35); overridable for tests / other scene scales.
         self.nerf_model = nerf_model or SemanticNeRF(
             bound=4.0, num_semantic_classes=num_classes)
-        self.seg_model = seg_model or DeepLabV3(num_classes=num_classes)
+        self.seg_model = seg_model or DeepLabV3(
+            num_classes=num_classes,
+            dtype=seg_compute_dtype(exp.get("model")))
 
         opt = exp["optimizer"]
         self.nerf_tx = make_nerf_optimizer(float(opt.get("lr_nerf", 1e-2)))

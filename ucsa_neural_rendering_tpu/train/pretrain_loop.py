@@ -16,7 +16,7 @@ import numpy as np
 
 from ..data import DataLoader, ScanNet, load_split
 from ..metrics import SemanticsMeter
-from ..models import DeepLabV3
+from ..models import DeepLabV3, seg_compute_dtype
 from ..parallel import get_mesh, shard_batch
 from .checkpoints import load_deeplab, save_deeplab, save_tree, load_tree
 from ..utils.profiling import StepTimer, maybe_trace
@@ -92,7 +92,8 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
     test_dl = DataLoader(mk("test", "test"), batch_size=bs)
 
     mesh = get_mesh() if jax.device_count() > 1 else None
-    model = model or DeepLabV3(num_classes=exp["model"]["num_classes"])
+    model = model or DeepLabV3(num_classes=exp["model"]["num_classes"],
+                               dtype=seg_compute_dtype(exp["model"]))
     trainer = SegTrainer(model, exp["optimizer"], mesh=mesh)
     state = trainer.init(jax.random.key(getattr(args, "seed", 123)),
                          image_hw=output_size)
