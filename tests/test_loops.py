@@ -54,6 +54,20 @@ def test_render_cfgs_from_exp():
         "num_steps": 64, "test_early_stop": True}})
     assert tc.num_steps == 64 and tc.upsample_steps == 256
 
+    # quoted YAML numbers coerce by dataclass field type
+    rc, tc = render_cfgs_from_exp({"renderer": {
+        "num_steps": "48", "refine_fraction": "0.5",
+        "test_stage1_steps": "4", "test_early_stop": True}})
+    assert rc.num_steps == 48 and isinstance(rc.num_steps, int)
+    assert rc.refine_fraction == 0.5 and tc.stage1_steps == 4
+
+    # a typo'd prefix whose tail matches a real field still warns
+    import warnings as _w
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        render_cfgs_from_exp({"renderer": {"nerf_num_steps": 128}})
+    assert any("nerf_num_steps" in str(r.message) for r in rec)
+
 
 def test_pretrain_loop(env25k):
     exp = {

@@ -546,7 +546,9 @@ def hash_encode_packed_train(table, packed, x01, spec: HashGridSpec,
     accumulation; stochastic=True → unbiased single-corner rows). The packed
     table is a pure function of `table`, so no gradient flows to it — the
     caller builds it per step under stop_gradient. Forward output is
-    bit-identical to hash_encode."""
+    bit-identical to hash_encode when the packed rows are stored at the
+    table dtype (the train-packing default, bf16); fp8-stored rows (the
+    RENDER default) quantize the packed levels' features."""
     from .packed_table import hash_encode_packed
     return hash_encode_packed(table, packed, x01, spec)
 

@@ -12,7 +12,11 @@ Exactness: packing is a pure relayout of the trained table. For dense
 (collision-free) levels the cell row is a copy of its 8 vertex entries; for
 hashed levels the vertex grid is first expanded by evaluating the spatial
 hash at every vertex (exactly the lookup the unpacked path would do), so a
-packed lookup returns bit-identical corner features. Levels whose vertex
+packed lookup returns bit-identical corner features WHEN the packed rows are
+stored at the table dtype (bf16/f32 — the train-packing configuration, with
+a bit-equal-step test). The render default stores rows as float8_e4m3
+(`RenderConfig.packed_dtype="fp8"`): a quantized relayout, ~2.5% mean
+feature error, measured -0.01 dB / identical labels (PERFORMANCE.md r3). Levels whose vertex
 count exceeds the configured budget stay unpacked (the fine levels of a
 2048-resolution grid would need GBs); the encode below mixes one packed
 gather for the coarse levels with the classic 8-corner gather for the rest.

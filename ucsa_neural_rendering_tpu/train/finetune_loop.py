@@ -17,6 +17,7 @@ from ..data import (DataLoader, ScanNet, ScanNetCL, ScanNetNGP, load_split)
 from ..metrics import SemanticsMeter
 from ..models import DeepLabV3, seg_compute_dtype
 from .checkpoints import load_deeplab, save_deeplab
+from .seg_eval import build_test_25k, eval_25k
 from .experiment import seed_everything, setup_experiment
 from .pretrain_loop import run_epoch
 from .seg_trainer import SegTrainer
@@ -44,34 +45,15 @@ def _eval_per_scene(trainer, state, dataset, num_classes, logger, prefix):
 def _eval_25k(trainer, state, dataset, num_classes, logger, tag):
     """25k generalization test (ref scripts/train_finetune.py:115-118 runs
     trainer.test on `scannet_test_gen` before and after fitting,
-    finetune_data_module.py:109-117)."""
-    meter = SemanticsMeter(num_classes)
-    for i in range(len(dataset)):
-        img, label, _ = dataset[i]
-        preds, _ = trainer.eval_step(state[0], state[1],
-                                     jnp.asarray(img)[None])
-        meter.update(preds[0], jnp.asarray(label))
-    miou, tacc, macc = meter.measure()
+    finetune_data_module.py:109-117). Shared batched loop: seg_eval.py."""
+    miou, tacc, macc = eval_25k(
+        lambda im: trainer.eval_step(state[0], state[1], im)[0],
+        dataset, num_classes)
     if logger is not None:
         logger.log({f"test/25k_mean_IoU_{tag}": miou,
                     f"test/25k_total_accuracy_{tag}": tacc,
                     f"test/25k_mean_accuracy_{tag}": macc})
     return miou, tacc, macc
-
-
-def build_test_25k(exp, env, output_size):
-    """ScanNet-25k test split dataset, or None when the split file isn't on
-    disk (the shipped split.npz is a large-blob placeholder upstream)."""
-    cfg_dm = exp["data_module"]
-    split_file = cfg_dm.get("data_preprocessing", {}).get("split_file")
-    if not split_file:
-        return None
-    split_path = os.path.join(env["scannet_frames_25k"], split_file)
-    if not os.path.isfile(split_path):
-        return None
-    split = load_split(split_path)
-    return ScanNet(root=env["scannet_frames_25k"], img_list=split["test"],
-                   mode="test", output_size=output_size)
 
 
 def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
@@ -115,7 +97,8 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     # finetune stays single-device-jit (per-scene data is small and the val
     # path runs bs=1 frames, which an 8-way data sharding can't split); the
     # pretrain loop is the multi-device seg workload, as in the reference
-    model = model or DeepLabV3(num_classes=num_classes)
+    model = model or DeepLabV3(num_classes=num_classes,
+                               dtype=seg_compute_dtype(exp["model"]))
     trainer = SegTrainer(model, exp["optimizer"])
     state = trainer.init(jax.random.key(args.seed), image_hw=output_size)
 

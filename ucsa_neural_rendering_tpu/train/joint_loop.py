@@ -26,6 +26,7 @@ from ..viz.colormaps import NYU40_COLOUR_CODE
 from .checkpoints import load_deeplab, save_deeplab, save_tree
 from .experiment import seed_everything, setup_experiment
 from .joint_trainer import JointTrainer
+from .seg_eval import build_test_25k, eval_25k
 
 PREDICT_SUBFOLDERS = ("nerf_image", "nerf_label", "nerf_label_vis",
                       "seg_label", "seg_label_vis")
@@ -47,12 +48,15 @@ def render_cfgs_from_exp(exp):
     def coerce(k, v):
         # YAML values pass by field type: a quoted number ("256") becomes
         # an int/float instead of surfacing as an opaque trace-time error
-        # (bools pass through: bool("false") would be True)
-        t = {"int": int, "float": float}.get(str(types[k]))
+        # (bools pass through: bool("false") would be True). f.type is the
+        # class object here (renderer.py has no string annotations), but
+        # accept the string form too in case that ever changes.
+        t = {"int": int, "float": float, int: int, float: float}.get(types[k])
         return t(v) if t is not None and not isinstance(v, bool) else v
 
     unknown = [k for k in r
-               if k not in known and k[len("test_"):] not in known]
+               if k not in known
+               and not (k.startswith("test_") and k[len("test_"):] in known)]
     if unknown:
         import warnings
         warnings.warn(f"renderer config keys not recognized: {unknown} "
@@ -129,16 +133,9 @@ def build_datamodule(exp, env, output_size, val_scene_list=None):
                                      ngp_25k_ratio=exp["cl"]["ngp_25k_ratio"])
     dm["train_joint"] = train_joint
     # 25k generalization test set (ref joint_train_data_module.py:55-66);
-    # only when the split file is on disk
-    cfg_dm = exp["data_module"]
-    split_path = os.path.join(env["scannet_frames_25k"],
-                              cfg_dm["data_preprocessing"]["split_file"])
-    dm["test_25k"] = None
-    if os.path.isfile(split_path):
-        split = load_split(split_path)
-        dm["test_25k"] = ScanNet(root=env["scannet_frames_25k"],
-                                 img_list=split["test"], mode="test",
-                                 output_size=output_size)
+    # only when the split file is configured and on disk (shared helper
+    # with the finetune loop: seg_eval.py)
+    dm["test_25k"] = build_test_25k(exp, env, output_size)
     return dm
 
 
@@ -398,12 +395,9 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     test_nerf(trainer, nerf_state, dm["train_nerf"], num_classes, logger,
               "test", occ_grid)
     if dm["test_25k"] is not None:
-        meter = SemanticsMeter(num_classes)
-        for i in range(len(dm["test_25k"])):
-            img, label, _ = dm["test_25k"][i]
-            pred, _, _ = trainer.seg_infer(seg_state, jnp.asarray(img)[None])
-            meter.update(pred[0], jnp.asarray(label))
-        miou, tacc, macc = meter.measure()
+        miou, tacc, macc = eval_25k(
+            lambda im: trainer.seg_infer(seg_state, im)[0],
+            dm["test_25k"], num_classes)
         logger.log({"test/25k_mean_IoU": miou,
                     "test/25k_total_accuracy": tacc,
                     "test/25k_mean_accuracy": macc})
