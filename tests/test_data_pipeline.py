@@ -153,6 +153,42 @@ def test_create_split(frames25k_dir):
     assert len(split["train"]) + len(split["val"]) == len(paths)
 
 
+def test_scannet_aux_labels(frames25k_dir, tmp_path):
+    """Aux-label stream (ref scannet.py:64-137,155-234): fake mode echoes
+    the main label with valid=False; real mode pre-converts RGBA
+    prob-packed files to FAST `_.png` and returns the aux plane through
+    the same crop as the main label."""
+    root, paths = frames25k_dir
+
+    ds = ScanNet(root=root, img_list=paths, mode="val", output_size=(H, W))
+    ds.set_aux_labels_fake(True)
+    img, label, aux, valid, ori = ds[0]
+    np.testing.assert_array_equal(aux, label)
+    assert valid is False
+
+    # real aux stream: constant class 5 (1-based 6) at full confidence
+    import cv2
+    aux_paths = []
+    for i in range(len(paths)):
+        ap = str(tmp_path / f"aux_{i}.png")
+        img16 = np.zeros((2 * H, 2 * W, 4), np.uint16)
+        img16[..., 0] = (5 << 10) | 1023
+        cv2.imwrite(ap, img16[..., [2, 1, 0, 3]])
+        aux_paths.append(ap)
+    ds2 = ScanNet(root=root, img_list=paths, mode="val", output_size=(H, W))
+    ds2.enable_aux_labels(aux_paths)
+    assert all(q.endswith("_.png") and os.path.isfile(q)
+               for q in ds2.aux_label_pths)
+    img, label, aux, valid, ori = ds2[0]
+    assert valid is True and aux.shape == (H, W)
+    assert (aux == 5).all()  # decoded 6, −1 shift
+
+    # fallback: a missing converted file falls back to the RGBA source
+    os.remove(ds2.aux_label_pths[0])
+    img, label, aux, valid, ori = ds2[0]
+    assert (aux == 5).all()
+
+
 def test_augment_label_value_preservation(rng):
     """Augmentation must not invent label values (nearest interp only)."""
     import jax
