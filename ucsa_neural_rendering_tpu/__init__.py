@@ -11,7 +11,7 @@ Layout (TPU-first, not a port):
   config/    YAML two-layer config system           (ref: nr4seg/utils/loading.py, cfg/)
   data/      host-side datasets, rays, label decode (ref: nr4seg/dataset/)
   models/    hash encoding, MLPs, NeRF, DeepLabV3   (ref: nr4seg/nerf/, nr4seg/network/)
-  ops/       sampling, compositing, renderer, pallas kernels
+  ops/       sampling, compositing, renderer, occupancy grid
                                                      (ref: nr4seg/nerf/renderer_semantics.py,
                                                       nr4seg/nerf/raymarching/)
   parallel/  device mesh + sharding helpers          (ref: Lightning DDP usage)
