@@ -20,7 +20,7 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import ScanNet, load_split
+from ..data import DataLoader, ScanNet, load_split
 from ..metrics import SemanticsMeter
 
 
@@ -40,18 +40,35 @@ def build_test_25k(exp, env, output_size):
                    mode="test", output_size=output_size)
 
 
+class _PaddedView:
+    """Length-padded (to a batch multiple) view of (img, label) pairs;
+    wraparound pads carry all−1 labels so the meter ignores them. Keeps
+    every batch the same static shape → one jit compilation."""
+
+    def __init__(self, dataset, total):
+        self._ds = dataset
+        self._total = total
+
+    def __len__(self):
+        return self._total
+
+    def __getitem__(self, i):
+        item = self._ds[i % len(self._ds)]
+        img, label = np.asarray(item[0]), np.asarray(item[1])
+        if i >= len(self._ds):
+            label = np.full_like(label, -1)
+        return img, label
+
+
 def eval_25k(infer, dataset, num_classes, batch_size=8):
     """Run `infer(images [B,H,W,3]) -> preds [B,H,W]` over the dataset in
-    static-shape batches; returns (mIoU, total_acc, mean_acc)."""
+    static-shape batches; returns (mIoU, total_acc, mean_acc). Decode of
+    batch k+1 overlaps inference of batch k (DataLoader thread prefetch)."""
     meter = SemanticsMeter(num_classes)
     n = len(dataset)
-    for start in range(0, n, batch_size):
-        idx = [(start + j) % n for j in range(batch_size)]
-        items = [dataset[i] for i in idx]
-        real = min(batch_size, n - start)
-        images = jnp.asarray(np.stack([it[0] for it in items]))
-        labels = np.stack([np.asarray(it[1]) for it in items])
-        labels[real:] = -1  # wraparound pads: ignored by the meter
-        preds = infer(images)
+    total = -(-n // batch_size) * batch_size
+    loader = DataLoader(_PaddedView(dataset, total), batch_size=batch_size)
+    for images, labels in loader:
+        preds = infer(jnp.asarray(images))
         meter.update(preds, jnp.asarray(labels))
     return meter.measure()
