@@ -96,6 +96,44 @@ def test_pretrain_loop(env25k):
 
 
 @pytest.mark.slow
+def test_eval_25k_padding():
+    """eval_25k: every dispatch sees the same static batch shape, wraparound
+    pad frames carry −1 labels (excluded from the meter), and the metrics
+    match an unbatched oracle."""
+    from ucsa_neural_rendering_tpu.metrics import SemanticsMeter
+    from ucsa_neural_rendering_tpu.train.seg_eval import eval_25k
+
+    rng = np.random.default_rng(0)
+    n, h, w, ncls = 5, 8, 10, 4
+    imgs = rng.random((n, h, w, 3)).astype(np.float32)
+    labels = rng.integers(-1, ncls, (n, h, w)).astype(np.int32)
+    ds = [(imgs[i], labels[i], imgs[i]) for i in range(n)]
+
+    shapes = []
+
+    def infer(images):
+        shapes.append(tuple(images.shape))
+        # "predict" the true label of the underlying frame by nearest image
+        out = []
+        for b in range(images.shape[0]):
+            i = int(np.argmin([np.abs(np.asarray(images[b]) - im).sum()
+                               for im in imgs]))
+            noisy = labels[i].copy()
+            noisy[0, 0] = (noisy[0, 0] + 1) % ncls  # imperfect on purpose
+            out.append(noisy)
+        return np.stack(out)
+
+    miou, tacc, macc = eval_25k(infer, ds, ncls, batch_size=2)
+    assert set(shapes) == {(2, h, w, 3)}  # one static shape, incl. last
+    oracle = SemanticsMeter(ncls)
+    for i in range(n):
+        pred = labels[i].copy()
+        pred[0, 0] = (pred[0, 0] + 1) % ncls
+        oracle.update(pred[None], labels[i][None])
+    o_miou, o_tacc, o_macc = oracle.measure()
+    assert np.allclose((miou, tacc, macc), (o_miou, o_tacc, o_macc))
+
+
 def test_finetune_loop_on_renders(env25k, tmp_path):
     # build a scene with fake "nerf renders" = gt copies under prev_exp_name
     scannet = env25k["scannet"]
