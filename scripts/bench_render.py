@@ -81,20 +81,24 @@ def main():
         "32+32 (parity)": RenderConfig(num_steps=32, upsample_steps=32,
                                        packed_max_entries=0),
         "32+32 pk23": RenderConfig(num_steps=32, upsample_steps=32,
-                                   packed_max_entries=2 ** 23),
+                                   packed_max_entries=2 ** 23,
+                                   packed_dtype="bf16"),
         "16+16 pk23": RenderConfig(num_steps=16, upsample_steps=16,
-                                   packed_max_entries=2 ** 23),
+                                   packed_max_entries=2 ** 23,
+                                   packed_dtype="bf16"),
         # the test/predict DEFAULT (JointTrainer): train budget +
         # early-stop stage-1 at half budget + packed tables
         "es16->32+32 k/4 pk23": RenderConfig(num_steps=32, upsample_steps=32,
                                              early_stop=True, stage1_steps=16,
                                              refine_fraction=0.25,
-                                             packed_max_entries=2 ** 23),
+                                             packed_max_entries=2 ** 23,
+                                             packed_dtype="bf16"),
         # fast knob
         "es8->16+16 k/8 pk23": RenderConfig(num_steps=16, upsample_steps=16,
                                             early_stop=True, stage1_steps=8,
                                             refine_fraction=0.125,
-                                            packed_max_entries=2 ** 23),
+                                            packed_max_entries=2 ** 23,
+                                            packed_dtype="bf16"),
         # fp8 cell rows (VERDICT r2 #4): 16 B rows on the packed levels +
         # a doubled level budget per byte — measure the PSNR cost here
         "16+16 pk23 fp8": RenderConfig(num_steps=16, upsample_steps=16,

@@ -31,7 +31,6 @@ def env25k(tmp_path_factory):
             "scannet_frames_25k": frames_dir}
 
 
-@pytest.mark.slow
 def test_render_cfgs_from_exp():
     """YAML renderer-block plumbing: verbatim RenderConfig fields, test_
     overrides, the symmetric-test-budget shorthand, unknown keys ignored."""
@@ -69,6 +68,7 @@ def test_render_cfgs_from_exp():
     assert any("nerf_num_steps" in str(r.message) for r in rec)
 
 
+@pytest.mark.slow
 def test_pretrain_loop(env25k):
     exp = {
         "general": {"name": "pretrain_test",
@@ -95,7 +95,6 @@ def test_pretrain_loop(env25k):
     assert os.path.isfile(os.path.join(model_path, "metrics.jsonl"))
 
 
-@pytest.mark.slow
 def test_eval_25k_padding():
     """eval_25k: every dispatch sees the same static batch shape, wraparound
     pad frames carry −1 labels (excluded from the meter), and the metrics
@@ -134,6 +133,7 @@ def test_eval_25k_padding():
     assert np.allclose((miou, tacc, macc), (o_miou, o_tacc, o_macc))
 
 
+@pytest.mark.slow
 def test_finetune_loop_on_renders(env25k, tmp_path):
     # build a scene with fake "nerf renders" = gt copies under prev_exp_name
     scannet = env25k["scannet"]

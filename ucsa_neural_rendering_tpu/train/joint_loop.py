@@ -176,16 +176,21 @@ def validate_seg(trainer, seg_state, dataset, meter_factory, logger, prefix,
 
 
 def test_nerf(trainer, nerf_state, dataset, num_classes, logger, prefix,
-              occ_grid=None):
-    """NeRF pseudo-label quality on train frames (ref test_step :648-660)."""
+              occ_grid=None, group=4):
+    """NeRF pseudo-label quality on train frames (ref test_step :648-660),
+    `group` frames per dispatch like run_predict (the per-frame host
+    roundtrip is ~35 ms; the render compiles are shared with predict)."""
     meter = SemanticsMeter(num_classes)
-    for i in range(len(dataset)):
-        item = dataset[i]
-        out = trainer._render_frame(nerf_state[0],
-                                    jnp.asarray(item["pose"]),
-                                    jnp.asarray(item["intrinsics"]),
-                                    occ_grid)
-        meter.update(out["nerf_semantics"], jnp.asarray(item["label"]))
+    n = len(dataset)
+    for s in range(0, n, group):
+        items = [dataset[i] for i in range(s, min(s + group, n))]
+        poses = jnp.asarray(np.stack([it["pose"] for it in items]))
+        outs = trainer.render_frames(nerf_state[0], poses,
+                                     jnp.asarray(items[0]["intrinsics"]),
+                                     occ_grid, group=group)
+        labels = jnp.asarray(np.stack([np.asarray(it["label"])
+                                       for it in items]))
+        meter.update(outs["nerf_semantics"], labels)
     miou, tacc, macc = meter.measure()
     if logger is not None:
         logger.log({f"{prefix}/nerf_mean_IoU": miou,
