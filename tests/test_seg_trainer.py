@@ -42,6 +42,19 @@ def test_cross_entropy_double_softmax_matches_reference_quirk(rng):
     assert abs(ours - ref) < 1e-4
 
 
+def test_cross_entropy_all_ignored_is_finite(rng):
+    """A batch whose every pixel is −1 (possible for pure novel-viewpoint
+    replay assemblies) must yield loss 0 with finite (zero) gradients, not
+    torch's 0/0 NaN."""
+    logits = rng.normal(size=(2, 3, 3, 4)).astype(np.float32)
+    labels = np.full((2, 3, 3), -1, np.int32)
+    loss, grads = jax.value_and_grad(
+        lambda lg: cross_entropy_ignore(lg, jnp.asarray(labels)))(
+            jnp.asarray(logits))
+    assert float(loss) == 0.0
+    assert np.isfinite(np.asarray(grads)).all()
+
+
 def test_poly_lr_factor():
     # epoch 0 → init lr; epoch max → target lr
     assert abs(poly_lr_factor(0, 150, 0.9, 1e-4, 1e-6) - 1e-4) < 1e-12
