@@ -28,6 +28,19 @@ def test_save_overwrites(tmp_path):
     np.testing.assert_allclose(load_tree(p)["x"], 1.0)
 
 
+def test_save_tree_write_then_swap(tmp_path):
+    """Overwrite is write-then-swap: no leftover .tmp dir after a clean
+    save, and a pre-existing stale .tmp (crashed earlier save) is cleared —
+    the previous checkpoint stays valid until the new one fully lands."""
+    import os
+    p = str(tmp_path / "ckpt")
+    save_tree(p, {"x": np.zeros(3)})
+    os.makedirs(p + ".tmp/garbage")  # simulate a crash mid-save
+    save_tree(p, {"x": np.ones(3)})
+    assert not os.path.exists(p + ".tmp")
+    np.testing.assert_allclose(load_tree(p)["x"], 1.0)
+
+
 def test_deeplab_roundtrip_and_torch_path(tmp_path, rng):
     params = {"backbone": {"conv1": {"kernel":
                                      rng.normal(size=(7, 7, 3, 64)).astype(

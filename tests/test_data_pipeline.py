@@ -189,6 +189,37 @@ def test_scannet_aux_labels(frames25k_dir, tmp_path):
     assert (aux == 5).all()
 
 
+def test_scannet_aux_confidence_not_stale(frames25k_dir, tmp_path):
+    """The RGBA→FAST conversion bakes the confidence floor into the stored
+    argmax; a run with a different confidence_aux must convert fresh, not
+    reuse the stale file (round-3 review finding — the reference regenerates
+    via force=True, ref scannet.py:162)."""
+    import cv2
+    root, paths = frames25k_dir
+
+    # class 5 at prob ≈0.3 everywhere
+    aux_paths = []
+    for i in range(len(paths)):
+        ap = str(tmp_path / f"aux_{i}.png")
+        img16 = np.zeros((2 * H, 2 * W, 4), np.uint16)
+        img16[..., 0] = (5 << 10) | int(0.3 * 1023)
+        cv2.imwrite(ap, img16[..., [2, 1, 0, 3]])
+        aux_paths.append(ap)
+
+    ds0 = ScanNet(root=root, img_list=paths, mode="val", output_size=(H, W),
+                  confidence_aux=0)
+    ds0.enable_aux_labels(aux_paths)
+    _, _, aux0, _, _ = ds0[0]
+    assert (aux0 == 5).all()  # no floor: argmax class survives
+
+    ds5 = ScanNet(root=root, img_list=paths, mode="val", output_size=(H, W),
+                  confidence_aux=0.5)
+    ds5.enable_aux_labels(aux_paths)
+    assert ds5.aux_label_pths[0] != ds0.aux_label_pths[0]
+    _, _, aux5, _, _ = ds5[0]
+    assert (aux5 == -1).all()  # below the floor → unlabeled → ignore
+
+
 def test_augment_label_value_preservation(rng):
     """Augmentation must not invent label values (nearest interp only)."""
     import jax

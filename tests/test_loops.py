@@ -133,6 +133,46 @@ def test_eval_25k_padding():
     assert np.allclose((miou, tacc, macc), (o_miou, o_tacc, o_macc))
 
 
+def test_eval_25k_pad_slots_skip_decode():
+    """Wraparound pad slots serve a cached zero frame: the dataset is
+    decoded once per real frame plus once to size the pad, not once per pad
+    slot (round-3 review finding)."""
+    from ucsa_neural_rendering_tpu.train.seg_eval import eval_25k
+
+    n, h, w, ncls = 2, 4, 5, 3
+    calls = []
+
+    class DS:
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            calls.append(i)
+            img = np.full((h, w, 3), (i + 1) / 10, np.float32)
+            label = np.full((h, w), i % ncls, np.int32)
+            return img, label, img
+
+    def infer(images):
+        return np.zeros((images.shape[0], h, w), np.int32)
+
+    miou, tacc, macc = eval_25k(infer, DS(), ncls, batch_size=6)
+    assert sorted(calls) == [0, 0, 1]  # 2 real + 1 pad-cache build
+    assert np.isfinite(miou)
+
+
+def test_build_test_25k_empty_split(tmp_path):
+    """An empty test list returns None (skip) instead of crashing in
+    meter.measure() after training (round-3 review finding)."""
+    from ucsa_neural_rendering_tpu.train.seg_eval import build_test_25k
+
+    np.savez(tmp_path / "split.npz", train=np.array(["a/color/1.jpg"]),
+             val=np.array(["a/color/2.jpg"]), test=np.array([], dtype=str),
+             train_cl=np.array([], dtype=str))
+    exp = {"data_module": {"data_preprocessing": {"split_file": "split.npz"}}}
+    env = {"scannet_frames_25k": str(tmp_path)}
+    assert build_test_25k(exp, env, (8, 8)) is None
+
+
 @pytest.mark.slow
 def test_finetune_loop_on_renders(env25k, tmp_path):
     # build a scene with fake "nerf renders" = gt copies under prev_exp_name
@@ -229,3 +269,26 @@ def test_pretrain_resume_bitmatches_uninterrupted(env25k):
         jax.tree.map(
             lambda a, b: np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b)), part_a, part_b)
+
+
+@pytest.mark.slow
+def test_pretrain_resume_restores_best_score(env25k):
+    """Lightning's ModelCheckpoint keeps best_model_score across resume; a
+    resumed run must not overwrite best_ckpt with a worse model just because
+    the in-memory best restarted at -1 (round-3 review finding)."""
+    from ucsa_neural_rendering_tpu.train.checkpoints import (load_tree,
+                                                             save_tree)
+    args = argparse.Namespace(seed=0, project_name="t")
+    pretrain_loop.train(
+        _resume_exp("resume_best", 1, False, True, env25k), env25k, args,
+        model=TinySeg())
+    last = os.path.join(env25k["results"], "resume_best", "last_ckpt")
+    tree = load_tree(last)
+    assert "best_miou" in tree
+    # pretend the pre-resume best was (unbeatably) high, then resume
+    tree["best_miou"] = np.float64(0.99)
+    save_tree(last, tree)
+    _, best = pretrain_loop.train(
+        _resume_exp("resume_best", 2, True, False, env25k), env25k, args,
+        model=TinySeg())
+    assert best == 0.99  # epoch 2's (worse) val mIoU did not displace it

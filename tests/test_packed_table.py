@@ -248,3 +248,41 @@ def test_packed_table_is_pytree():
         return p.data * 2
 
     through_jit(pt)  # PackedTable passes through jit as an argument
+
+
+def test_packed_cache_keys_on_cfg(monkeypatch):
+    """PackedTableCache keys on (table identity, budget, dtype): swapping
+    the render cfg after the first pack must repack, not silently serve the
+    stale table (round-3 review finding)."""
+    from dataclasses import replace
+    from types import SimpleNamespace
+
+    import ucsa_neural_rendering_tpu.models.packed_table as pt_mod
+    from ucsa_neural_rendering_tpu.models.packed_table import PackedTableCache
+
+    model = SemanticNeRF(bound=1.0, num_semantic_classes=4, n_levels=4,
+                         log2_hashmap_size=10)
+    x = jnp.zeros((4, 3))
+    d = jnp.zeros((4, 3)).at[:, 2].set(1.0)
+    params = model.init(jax.random.key(0), x, d)["params"]
+    cache = PackedTableCache(model)
+    cfg = RenderConfig(packed_max_entries=2 ** 12, packed_dtype="bf16")
+
+    # off-TPU gate (this test runs on CPU)
+    assert cache(params, cfg) is None
+
+    monkeypatch.setattr(pt_mod, "jax",
+                        SimpleNamespace(default_backend=lambda: "tpu"))
+    p1 = cache(params, cfg)
+    assert p1 is not None and p1.data.dtype == jnp.bfloat16
+    assert cache(params, cfg) is p1  # same (table, cfg) → cached object
+
+    p2 = cache(params, replace(cfg, packed_dtype="fp8"))
+    assert p2 is not p1 and p2.data.dtype == jnp.float8_e4m3fn
+    p3 = cache(params, replace(cfg, packed_max_entries=10 ** 9))
+    assert p3.n_packed > p1.n_packed
+
+    # a new table array (e.g. after an Adam step) repacks too
+    params2 = jax.tree_util.tree_map(lambda a: a + 0, params)
+    p4 = cache(params2, replace(cfg, packed_max_entries=10 ** 9))
+    assert p4 is not p3

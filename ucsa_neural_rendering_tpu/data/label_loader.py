@@ -39,7 +39,7 @@ class LabelLoaderAuto:
 
     def __init__(self, root_scannet: str | None = None, confidence: float = 0):
         assert root_scannet is not None
-        self._confidence = confidence
+        self.confidence = confidence
         self.max_classes = 40
         self._mapping = self._load_mapping(root_scannet)
 
@@ -77,7 +77,7 @@ class LabelLoaderAuto:
         best_class = np.take_along_axis(classes, best[..., None],
                                         axis=2)[..., 0]
         label = best_class + 1
-        label[best_prob < self._confidence] = 0
+        label[best_prob < self.confidence] = 0
         return label.astype(np.int32)
 
     def get_probs(self, path: str) -> np.ndarray:

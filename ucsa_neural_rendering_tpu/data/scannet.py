@@ -56,19 +56,29 @@ class _nullcontext:
         return False
 
 
+def _fast_tag(confidence):
+    """Suffix tag for converted aux labels. The conversion bakes the
+    loader's confidence floor into the stored argmax, so the tag encodes it
+    — a run with a different `confidence_aux` converts fresh instead of
+    silently reusing a stale file (the reference regenerates via force=True;
+    ref scannet.py:162)."""
+    return "_" if confidence == 0 else f"_c{confidence:g}_"
+
+
 def preprocess_aux_labels(paths, loader):
     """One-time RGBA→FAST conversion (ref scannet.py:155-234): decode each
     RGBA prob-packed aux label once, write the argmax (at the loader's
-    confidence floor) as a plain uint8 `_.png` that FAST-decodes on every
-    later epoch. Returns the swapped path list. Paths already converted
-    (or not RGBA-format) pass through untouched; missing files are left
-    for __getitem__'s fallback."""
+    confidence floor) as a plain uint8 `<tag>.png` that FAST-decodes on
+    every later epoch. Returns the swapped path list. Paths already
+    converted (or not RGBA-format) pass through untouched; missing files
+    are left for __getitem__'s fallback."""
     out = []
+    tag = _fast_tag(loader.confidence)
     for p in paths:
-        if p.endswith("_.png") or not os.path.isfile(p):
+        if p.endswith(tag + ".png") or not os.path.isfile(p):
             out.append(p)
             continue
-        fast_p = p[:-len(".png")] + "_.png"
+        fast_p = p[:-len(".png")] + tag + ".png"
         if not os.path.isfile(fast_p):
             label, method = loader.get(p)
             if method != "RGBA":  # already cheap to load; keep as-is
@@ -133,8 +143,9 @@ class ScanNet:
         reference's fallback to the unconverted source (ref scannet.py:
         83-97)."""
         p = self.aux_label_pths[index]
-        if not os.path.isfile(p) and p.endswith("_.png"):
-            p = p[:-len("_.png")] + ".png"
+        tag = _fast_tag(self._label_loader.confidence)
+        if not os.path.isfile(p) and p.endswith(tag + ".png"):
+            p = p[:-len(tag + ".png")] + ".png"
         if not os.path.isfile(p):
             raise FileNotFoundError(
                 f"aux label missing for frame {index}: neither "

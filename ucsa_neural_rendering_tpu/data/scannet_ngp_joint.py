@@ -271,6 +271,9 @@ class ScanNetNGPJoint:
                      (nerf_label + 1).astype(np.float32)],
                     (self.H, self.W), only_crop=False)
             else:
+                # reference quirk kept for parity: the no-augmentation
+                # branch crops the GT image `img`, not `nerf_image`
+                # (ref scannet_ngp_joint.py:357-366)
                 aimg, alabels = _host_augment(
                     0, img, [(label + 1).astype(np.float32),
                              (nerf_label + 1).astype(np.float32)],

@@ -227,3 +227,42 @@ def hash_encode_packed_probe(table: jnp.ndarray, packed: PackedTable,
                     axis=0).reshape(n, spec.n_levels - k, spec.n_features)
 
     return jnp.concatenate([coarse, fine], axis=1).reshape(n, spec.out_dim)
+
+
+class PackedTableCache:
+    """Identity-keyed cache of render-time packed tables for one model.
+
+    One repack per params update, amortized over that update's full-frame
+    renders. The cache holds a reference to the source table array, so an
+    identity match can only mean the same immutable buffer — donated or
+    updated params produce a new array and a repack. The key also carries
+    (max_entries, dtype): swapping the render config after the first pack
+    repacks under the new budget/dtype instead of silently serving the old
+    one. TPU-gated — packing only pays where gathers are the wall; on CPU
+    (tests, virtual meshes) it just adds compile time and, under load,
+    lengthens per-device programs between collectives.
+    """
+
+    def __init__(self, model):
+        # max_entries/dtype are static jit args, so each (budget, dtype)
+        # compiles its own pack program
+        self._pack = jax.jit(model.pack_table, static_argnums=(1, 2))
+        self._entry = None  # (table array ref, max_entries, dtype, packed)
+
+    def __call__(self, params, cfg):
+        """PackedTable for (params, cfg.packed_max_entries/packed_dtype),
+        or None when packing is disabled, off-TPU, or empty."""
+        if cfg.packed_max_entries <= 0 or jax.default_backend() != "tpu":
+            return None
+        table = params["encoder"]["table"]
+        e = self._entry
+        if (e is not None and e[0] is table
+                and e[1] == cfg.packed_max_entries
+                and e[2] == cfg.packed_dtype):
+            return e[3]
+        packed = self._pack(params, cfg.packed_max_entries, cfg.packed_dtype)
+        if packed.n_packed == 0:
+            packed = None
+        self._entry = (table, cfg.packed_max_entries, cfg.packed_dtype,
+                       packed)
+        return packed

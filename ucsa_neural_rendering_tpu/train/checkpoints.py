@@ -17,14 +17,23 @@ import orbax.checkpoint as ocp
 
 
 def save_tree(path: str, tree):
-    """Save a pytree of arrays at `path` (a directory)."""
+    """Save a pytree of arrays at `path` (a directory).
+
+    Write-then-swap: the tree lands in a sibling `.tmp` dir first and only
+    replaces `path` once fully written, so a crash mid-save never destroys
+    the previous checkpoint (the per-epoch `last_ckpt` is the resume
+    anchor — losing it silently restarts training from epoch 0)."""
+    import shutil
     ckpt = ocp.StandardCheckpointer()
     path = os.path.abspath(path)
-    if os.path.exists(path):
-        import shutil
-        shutil.rmtree(path)
-    ckpt.save(path, jax.tree.map(np.asarray, tree))
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ckpt.save(tmp, jax.tree.map(np.asarray, tree))
     ckpt.wait_until_finished()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
 
 
 def load_tree(path: str, target=None):

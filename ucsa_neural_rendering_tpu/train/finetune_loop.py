@@ -123,8 +123,11 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
         if exp["cl"].get("active") else bs
     for epoch in range(exp["trainer"]["max_epochs"]):
         meter.clear()
+        # epoch/seed thread through so each epoch reshuffles and draws fresh
+        # dropout keys (the stream is a pure function of (seed, epoch, i))
         state = run_epoch(trainer, state, train_dl, eff_bs, None, lr, meter,
-                          logger, "train", train=True)
+                          logger, "train", train=True, epoch=epoch,
+                          seed=args.seed)
         miou, tacc, _ = meter.measure()
         logger.log({"train/mean_IoU": miou, "train/total_accuracy": tacc},
                    step=epoch)

@@ -115,6 +115,10 @@ def build_datamodule(exp, env, output_size, val_scene_list=None):
         root=root, mode="train", scene_list=scenes, exp_name=exp_name,
         only_new_scene=False,
         use_novel_viewpoints=exp["cl"].get("use_novel_viewpoints", False),
+        # hardcoded False exactly like the reference's data module (ref
+        # joint_train_data_module.py:85): --fix_nerf only gates the NeRF
+        # update in the trainer; the dataset's fix_nerf routing is dead
+        # code upstream too
         fix_nerf=False,
         replay_buffer_size=exp["cl"].get("replay_buffer_size"),
         output_size=output_size)

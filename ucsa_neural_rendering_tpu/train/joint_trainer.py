@@ -114,18 +114,14 @@ class JointTrainer:
                                           donate_argnums=(0,))
         self._nerf_update_batch = jax.jit(self._nerf_update_batch_impl,
                                           donate_argnums=(0,))
-        self._render_frame_jit = jax.jit(self._render_frame_impl)
         self._render_frames_jit = jax.jit(self._render_frames_impl)
         self._seg_update = jax.jit(self._seg_update_impl,
                                    donate_argnums=(0,))
         self._augment_rendered = jax.jit(self._augment_rendered_impl)
         self._update_grid = jax.jit(self._update_grid_impl,
                                     donate_argnums=(1,))
-        # max_entries/dtype are static jit args so a cfg swap after the
-        # first pack recompiles instead of silently reusing the old budget
-        self._pack_table = jax.jit(self.nerf_model.pack_table,
-                                   static_argnums=(1, 2))
-        self._packed_cache = None  # (table array ref, PackedTable)
+        from ..models.packed_table import PackedTableCache
+        self._packed_cache = PackedTableCache(self.nerf_model)
 
     # ------------------------------------------------------------------- init
     def init_nerf(self, key):
@@ -255,50 +251,20 @@ class JointTrainer:
             lambda x: jnp.mean(x, axis=0), parts)
 
     # ------------------------------------------------------------- rendering
-    def _render_frame_impl(self, nerf_params, pose, intrinsics,
-                           occ_grid=None, packed=None):
-        """forward_nerf_test for one frame (ref :225-257): staged full-image
-        render + semantics renormalization + argmax."""
-        rays = get_rays(pose, intrinsics, self.H, self.W)
-        out = render_rays_staged(self.nerf_model, {"params": nerf_params},
-                                 rays["rays_o"], rays["rays_d"],
-                                 rays["direction_norms"], self.test_cfg,
-                                 occ_grid, mesh=self.mesh, packed=packed)
-        sem, invalid = normalize_semantics(out["semantics"])
-        return {
-            "nerf_rgb": out["image"].reshape(self.H, self.W, 3),
-            "nerf_semantics": jnp.argmax(sem, -1).reshape(self.H, self.W),
-            "nerf_semantics_raw": sem.reshape(self.H, self.W, -1),
-            "nerf_depth": out["depth"].reshape(self.H, self.W),
-        }
-
     def packed_for(self, nerf_params):
-        """Cell-packed render table for these params (cached per table
-        array — one repack per NeRF update, amortized over the batch's
-        full-frame renders; see models/packed_table.py)."""
-        if self.test_cfg.packed_max_entries <= 0:
-            return None
-        import jax
-        if jax.default_backend() != "tpu":
-            # packing only pays where gathers are the wall; on CPU (tests,
-            # virtual meshes) it just adds compile time and, under load,
-            # lengthens per-device programs between collectives
-            return None
-        table = nerf_params["encoder"]["table"]
-        if self._packed_cache is not None and \
-                self._packed_cache[0] is table:
-            return self._packed_cache[1]
-        packed = self._pack_table(nerf_params,
-                                  self.test_cfg.packed_max_entries,
-                                  self.test_cfg.packed_dtype)
-        if packed.n_packed == 0:
-            packed = None
-        self._packed_cache = (table, packed)
-        return packed
+        """Cell-packed render table for these params (cached per
+        (table array identity, budget, dtype) — one repack per NeRF update,
+        amortized over the batch's full-frame renders; see
+        models/packed_table.py PackedTableCache)."""
+        return self._packed_cache(nerf_params, self.test_cfg)
 
     def _render_frame(self, nerf_params, pose, intrinsics, occ_grid=None):
-        return self._render_frame_jit(nerf_params, pose, intrinsics, occ_grid,
+        """forward_nerf_test for one frame (ref :225-257) — the g=1 slice of
+        the batched frame render (one shared jit program)."""
+        out = self._render_frames_jit(nerf_params, jnp.asarray(pose)[None],
+                                      intrinsics, occ_grid,
                                       self.packed_for(nerf_params))
+        return {k: v[0] for k, v in out.items()}
 
     def _render_frames_impl(self, nerf_params, poses, intrinsics,
                             occ_grid=None, packed=None):
@@ -318,6 +284,10 @@ class JointTrainer:
                                  ro.reshape(-1, 3), rd.reshape(-1, 3),
                                  dn.reshape(-1), self.test_cfg, occ_grid,
                                  mesh=self.mesh, packed=packed)
+        # `invalid` (zero semantic mass) is deliberately discarded: the
+        # reference renormalizes those rays to uniform and lets predict dump
+        # their argmax (class 0) as a confident label (ref forward_nerf_test
+        # :249-251 + predict_step :763-768) — keep that for parity.
         sem, invalid = normalize_semantics(out["semantics"])
         H, W = self.H, self.W
         return {

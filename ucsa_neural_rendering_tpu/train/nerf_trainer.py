@@ -105,11 +105,8 @@ class NeRFTrainer:
         self._render_image = jax.jit(self._render_image_impl)
         self._update_grid = jax.jit(self._update_grid_impl,
                                     donate_argnums=(1,))
-        # max_entries/dtype are static jit args so a cfg swap after the
-        # first pack recompiles instead of silently reusing the old budget
-        self._pack_table = jax.jit(self.model.pack_table,
-                                   static_argnums=(1, 2))
-        self._packed_cache = None  # (table array ref, PackedTable)
+        from ..models.packed_table import PackedTableCache
+        self._packed_cache = PackedTableCache(self.model)
 
     def _shard_rays(self, *arrays):
         if self.mesh is None:
@@ -221,28 +218,9 @@ class NeRFTrainer:
         return self._train_step(params, opt_state, batch, key, occ_grid)
 
     def packed_for(self, params):
-        """Cell-packed render table for these params, cached per table
-        version. The cache holds a reference to the source table array, so
-        an id() match can only mean the same (immutable) buffer — donated /
-        updated params produce a new array and a repack."""
-        if self.cfg.packed_max_entries <= 0:
-            return None
-        import jax
-        if jax.default_backend() != "tpu":
-            # packing only pays where gathers are the wall; on CPU (tests,
-            # virtual meshes) it just adds compile time and, under load,
-            # lengthens per-device programs between collectives
-            return None
-        table = params["encoder"]["table"]
-        if self._packed_cache is not None and \
-                self._packed_cache[0] is table:
-            return self._packed_cache[1]
-        packed = self._pack_table(params, self.cfg.packed_max_entries,
-                                  self.cfg.packed_dtype)
-        if packed.n_packed == 0:
-            packed = None
-        self._packed_cache = (table, packed)
-        return packed
+        """Cell-packed render table for these params (cached per
+        (table array identity, budget, dtype) — see PackedTableCache)."""
+        return self._packed_cache(params, self.cfg)
 
     def render_image(self, params, pose, intrinsics, rays, occ_grid=None):
         return self._render_image(params, pose, intrinsics, rays, occ_grid,

@@ -87,7 +87,8 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
                                    mode=mode, output_size=output_size)
     bs = cfg_dm["batch_size"]
     train_dl = DataLoader(mk("train", "train"), batch_size=bs, shuffle=True,
-                          drop_last=cfg_dm.get("drop_last", False))
+                          drop_last=cfg_dm.get("drop_last", False),
+                          seed=getattr(args, "seed", 123))
     val_dl = DataLoader(mk("val", "val"), batch_size=bs)
     test_dl = DataLoader(mk("test", "test"), batch_size=bs)
 
@@ -112,15 +113,22 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
         # optimizer moments too (ref scripts/pretrain.py:97-101); re-initing
         # Adam here would silently reset them
         target = {"params": state[0], "batch_stats": state[1],
-                  "opt_state": state[2], "epoch": np.zeros((), np.int64)}
+                  "opt_state": state[2], "epoch": np.zeros((), np.int64),
+                  "best_miou": np.zeros((), np.float64)}
         tree = load_tree(resume_dir, target=target)
         state = (tree["params"], tree["batch_stats"], tree["opt_state"])
         start_epoch = int(tree["epoch"])
+        # restore the best score too (Lightning ModelCheckpoint keeps
+        # best_model_score across resume); restarting it at -1 would let the
+        # first post-resume epoch overwrite best_ckpt with a worse model
+        resumed_best = float(tree["best_miou"])
+    else:
+        resumed_best = -1.0
 
     sched = exp.get("lr_scheduler", {})
     max_epochs = exp["trainer"]["max_epochs"]
     init_lr = float(exp["optimizer"]["lr"])
-    best_miou = -1.0
+    best_miou = resumed_best
     meters = {m: SemanticsMeter(exp["model"]["num_classes"])
               for m in ("train", "val", "test")}
 
@@ -162,7 +170,8 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
                          state[1])
         save_tree(resume_dir, {"params": state[0], "batch_stats": state[1],
                                "opt_state": state[2],
-                               "epoch": np.int64(epoch + 1)})
+                               "epoch": np.int64(epoch + 1),
+                               "best_miou": np.float64(best_miou)})
 
     meters["test"].clear()
     run_epoch(trainer, state, test_dl, bs, mesh, init_lr, meters["test"],

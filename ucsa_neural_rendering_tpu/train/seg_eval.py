@@ -36,6 +36,10 @@ def build_test_25k(exp, env, output_size):
     if not os.path.isfile(split_path):
         return None
     split = load_split(split_path)
+    if len(split["test"]) == 0:
+        # An empty test list would otherwise surface as a meter assertion
+        # AFTER training, before checkpoints are written.
+        return None
     return ScanNet(root=env["scannet_frames_25k"], img_list=split["test"],
                    mode="test", output_size=output_size)
 
@@ -48,16 +52,21 @@ class _PaddedView:
     def __init__(self, dataset, total):
         self._ds = dataset
         self._total = total
+        self._pad = None
 
     def __len__(self):
         return self._total
 
     def __getitem__(self, i):
-        item = self._ds[i % len(self._ds)]
-        img, label = np.asarray(item[0]), np.asarray(item[1])
         if i >= len(self._ds):
-            label = np.full_like(label, -1)
-        return img, label
+            # Pad slots never reach the meter; serve a cached zero image
+            # instead of decoding+augmenting a real frame just to mask it.
+            if self._pad is None:
+                img, label = self[0]
+                self._pad = (np.zeros_like(img), np.full_like(label, -1))
+            return self._pad
+        item = self._ds[i]
+        return np.asarray(item[0]), np.asarray(item[1])
 
 
 def eval_25k(infer, dataset, num_classes, batch_size=8):
