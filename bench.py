@@ -101,9 +101,13 @@ def _measure_fit(model, cfg, n_rays, steps, use_occupancy, H, W):
     dt = time.perf_counter() - t0
 
     samples = cfg.num_steps + cfg.upsample_steps
+    # the backward's row count follows the MODEL's gradient estimator (its
+    # stochastic_table_grad default applies in BOTH modes), not the
+    # sampling mode — keying on use_occupancy overstated the dense step's
+    # accounted traffic ~5x (r3 review fix)
     hbm_gbps = _table_traffic_bytes(
         n_rays, samples, 16,
-        stochastic=use_occupancy) / (dt / steps) / 1e9
+        stochastic=model.stochastic_table_grad) / (dt / steps) / 1e9
     return n_rays * steps / dt, hbm_gbps, tr, params, grid, batch
 
 

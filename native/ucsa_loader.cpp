@@ -127,6 +127,11 @@ bool decode_png(const char* path, std::vector<uint8_t>* out, int* w, int* h,
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   png_infop info = png_create_info_struct(png);
+  // constructed BEFORE setjmp: a libpng error longjmps back here, and
+  // jumping over a live vector's construction would skip its destructor
+  // (leak + UB); constructed-before objects are destroyed normally when
+  // the error branch returns
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);
@@ -139,12 +144,15 @@ bool decode_png(const char* path, std::vector<uint8_t>* out, int* w, int* h,
   *depth = png_get_bit_depth(png, info);
   png_byte color = png_get_color_type(png, info);
   if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && *depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);  // unpack 1/2/4-bit rows to 8-bit
   if (*depth == 16) png_set_swap(png);  // little-endian uint16
   png_read_update_info(png, info);
+  *depth = png_get_bit_depth(png, info);  // post-expansion
   *channels = png_get_channels(png, info);
   size_t rowbytes = png_get_rowbytes(png, info);
   out->resize(rowbytes * *h);
-  std::vector<png_bytep> rows(*h);
+  rows.resize(*h);
   for (int y = 0; y < *h; ++y) rows[y] = out->data() + y * rowbytes;
   png_read_image(png, rows.data());
   png_read_end(png, nullptr);
@@ -259,21 +267,24 @@ int ucsa_load_depth(const char* path, int dw, int dh, float* out) {
 // [n, dh, dw, 3] float32. status[i] = 0 on success. Blocks until done.
 void ucsa_load_rgb_batch(const char** paths, int n, int dw, int dh,
                          float* out, int32_t* status) {
-  std::atomic<int> done{0};
   std::mutex mu;
   std::condition_variable cv;
+  int done = 0;
   for (int i = 0; i < n; ++i) {
     pool()->submit([=, &done, &mu, &cv] {
-      status[i] = ucsa_load_rgb(paths[i], dw, dh,
+      int32_t s = ucsa_load_rgb(paths[i], dw, dh,
                                 out + size_t(i) * dw * dh * 3);
-      if (done.fetch_add(1) + 1 == n) {
-        std::lock_guard<std::mutex> lk(mu);
-        cv.notify_all();
-      }
+      // increment AND notify under the lock: an unlocked count bump lets a
+      // spuriously-woken waiter observe done==n and return — destroying
+      // the stack-local mu/cv while this worker is about to touch them
+      std::lock_guard<std::mutex> lk(mu);
+      status[i] = s;
+      ++done;
+      cv.notify_all();
     });
   }
   std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == n; });
+  cv.wait(lk, [&] { return done == n; });
 }
 
 }  // extern "C"

@@ -71,7 +71,10 @@ def main():
     mapping = None
     if args.semantics:
         mapping = load_nyu40_mapping(basedir)
-        lut = np.zeros(max(mapping) + 1, np.uint16)
+        # identity-initialized: ids absent from the tsv keep their raw value,
+        # matching the reference's masked-assignment loop (ref scannet2
+        # transform.py:151-153 — a zeroing LUT silently mapped them to 0)
+        lut = np.arange(max(mapping) + 1, dtype=np.uint16)
         for sid, nid in mapping.items():
             lut[sid] = nid
         os.makedirs(os.path.join(basedir, "label_40"), exist_ok=True)
@@ -101,7 +104,11 @@ def main():
                     sem = cv2.imread(
                         os.path.join(basedir, "label-filt", f"{fid}.png"),
                         cv2.IMREAD_UNCHANGED)
-                    sem = lut[sem]
+                    # ids beyond the tsv's max id pass through unchanged
+                    # instead of crashing the LUT index (corrupt frame or
+                    # tsv/scene version mismatch)
+                    sem = np.where(sem < len(lut),
+                                   lut[np.minimum(sem, len(lut) - 1)], sem)
                     sem_scaled = cv2.resize(sem, (W_OUT, H_OUT),
                                             interpolation=cv2.INTER_NEAREST)
                     cv2.imwrite(os.path.join(basedir, "label_40",

@@ -250,3 +250,23 @@ def test_augment_only_crop_deterministic(rng):
     c = augment(jax.random.key(0), img, [label], out_hw=(H, W),
                 only_crop=True)
     np.testing.assert_array_equal(np.asarray(c[0]), img)
+
+
+def test_rescale_to_canonical_size_matches_torch_floor():
+    """The reference's interpolate(scale_factor, recompute_scale_factor=
+    False) FLOORS the output size (round-3 review finding: round() grew the
+    canvas 1px on the standard 968x1296 frames, shifting crop offsets)."""
+    import torch
+    from ucsa_neural_rendering_tpu.data.augmentation import \
+        rescale_to_canonical
+
+    h, w, oh, ow = 968, 1296, 240, 320
+    out_img, out_labs = rescale_to_canonical(
+        np.zeros((h, w, 3), np.float32), [np.zeros((h, w), np.float32)],
+        (oh, ow))
+    sf = max(oh / h, ow / w) * 1.2
+    ref = torch.nn.functional.interpolate(
+        torch.zeros(1, 3, h, w), scale_factor=(sf, sf), mode="bilinear",
+        recompute_scale_factor=False, align_corners=False)
+    assert out_img.shape[:2] == tuple(ref.shape[2:])
+    assert out_labs[0].shape == tuple(ref.shape[2:])

@@ -166,6 +166,44 @@ def test_batchnorm_eval_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
 
 
+def test_batchnorm_train_update_matches_torch(rng):
+    """Train-mode BN parity: torch normalizes with the BIASED batch variance
+    but stores the UNBIASED (Bessel-corrected) one into running_var; flax's
+    nn.BatchNorm stores the biased one (round-3 review finding). Our
+    TorchBatchNorm must match torch on both the output and the updated
+    running stats."""
+    import torch
+
+    from ucsa_neural_rendering_tpu.models.resnet import TorchBatchNorm
+
+    c = 6
+    x = rng.normal(size=(4, 5, 5, c)).astype(np.float32)
+    weight = rng.uniform(0.5, 1.5, c).astype(np.float32)
+    bias = rng.normal(size=c).astype(np.float32)
+    mean = rng.normal(size=c).astype(np.float32)
+    var = rng.uniform(0.5, 1.5, c).astype(np.float32)
+
+    tbn = torch.nn.BatchNorm2d(c, eps=1e-5, momentum=0.1)
+    tbn.weight.data = torch.from_numpy(weight)
+    tbn.bias.data = torch.from_numpy(bias)
+    tbn.running_mean.data = torch.from_numpy(mean.copy())
+    tbn.running_var.data = torch.from_numpy(var.copy())
+    tbn.train()
+    ref = tbn(torch.from_numpy(x.transpose(0, 3, 1, 2))
+              ).detach().numpy().transpose(0, 2, 3, 1)
+
+    fbn = TorchBatchNorm(use_running_average=False)
+    out, mutated = fbn.apply(
+        {"params": {"scale": jnp.asarray(weight), "bias": jnp.asarray(bias)},
+         "batch_stats": {"mean": jnp.asarray(mean), "var": jnp.asarray(var)}},
+        jnp.asarray(x), mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mutated["batch_stats"]["mean"]),
+                               tbn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mutated["batch_stats"]["var"]),
+                               tbn.running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+
 def test_bilinear_resize_matches_torch(rng):
     """jax.image.resize 'bilinear' == torch interpolate align_corners=False."""
     import torch

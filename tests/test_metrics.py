@@ -68,3 +68,16 @@ def test_measure_from_confmat_all_correct():
     conf = np.diag([5, 3, 2])
     miou, tacc, macc = measure_from_confmat(conf)
     assert miou == 1.0 and tacc == 1.0 and macc == 1.0
+
+
+def test_meter_accumulates_past_int32():
+    """Cross-update accumulation is int64 on host: a 25k-scale eval
+    (~10^10 pixels) would wrap an int32 cell (round-3 review finding)."""
+    from ucsa_neural_rendering_tpu.metrics import SemanticsMeter
+    meter = SemanticsMeter(2)
+    big = np.array([[2 ** 31 - 10, 0], [0, 5]], dtype=np.int32)
+    meter.update_confmat(big)
+    meter.update_confmat(big)
+    assert meter.conf_mat[0, 0] == 2 * (2 ** 31 - 10)  # no wraparound
+    miou, tacc, macc = meter.measure()
+    assert 0.99 < tacc <= 1.0

@@ -172,6 +172,40 @@ def test_near_far_matches_cuda_port():
     np.testing.assert_allclose(mine_f[~ok], mine_n[~ok], atol=1e-6)
 
 
+def test_near_far_miss_matches_cuda_port():
+    """Rays that MISS the box return near == far == FLT_MAX like the CUDA
+    kernel (raymarching.cu:93-94,106-107) — origins outside the box, half
+    the directions pointing away (round-3 review finding: a collapsed
+    near-plane interval instead composited weight at the camera)."""
+    from ucsa_neural_rendering_tpu.ops.aabb import near_far_from_aabb
+    rng = np.random.default_rng(7)
+    N = 256
+    aabb_np = np.array([-1, -1, -1, 1, 1, 1], np.float32)
+    # origins on a shell outside the box
+    o = rng.normal(size=(N, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 4.0
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    # half the rays aim at the box (with jitter) so both hit and miss
+    # populations are well represented
+    toward = -o + 0.3 * rng.normal(size=(N, 3)).astype(np.float32)
+    d[::2] = toward[::2]
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ref_n, ref_f = _near_far_torch(torch.from_numpy(o), torch.from_numpy(d),
+                                   torch.from_numpy(aabb_np), 0.2)
+    mine_n, mine_f = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d),
+                                        jnp.asarray(aabb_np), 0.2)
+    ref_n, ref_f = ref_n.numpy(), ref_f.numpy()
+    mine_n, mine_f = np.asarray(mine_n), np.asarray(mine_f)
+    fmax = np.finfo(np.float32).max
+    miss = ref_n == fmax
+    assert 0.1 * N < miss.sum() < 0.9 * N  # both populations exercised
+    np.testing.assert_array_equal(mine_n[miss], ref_n[miss])
+    np.testing.assert_array_equal(mine_f[miss], ref_f[miss])
+    ok = ~miss & (ref_f >= ref_n)
+    np.testing.assert_allclose(mine_n[ok], ref_n[ok], atol=1e-4)
+    np.testing.assert_allclose(mine_f[ok], ref_f[ok], atol=1e-4)
+
+
 # --------------------------------------------- full renderer pipeline golden
 
 def _toy_sigma_np(x):
@@ -637,7 +671,10 @@ def test_seg_fit_trajectory_matches_torch(opt_cfg):
     for _ in range(N_STEPS):
         logits = conv2(torch.relu(conv1(t_img)))
         probs = F.softmax(logits, dim=1)  # the reference's quirk: CE on
-        loss = F.cross_entropy(probs, t_lab, ignore_index=-1)  # softmax
+        # softmax, reduction="none" then .mean() over ALL pixels (ref
+        # semantics_lightning_net.py:79-89 — NOT the default sum/valid)
+        loss = F.cross_entropy(probs, t_lab, ignore_index=-1,
+                               reduction="none").mean()
         opt.zero_grad()
         loss.backward()
         opt.step()

@@ -40,6 +40,24 @@ def test_render_shapes_and_finiteness(tiny_model):
         assert np.isfinite(np.asarray(v)).all()
 
 
+def test_render_missed_rays_finite(tiny_model):
+    """Rays that miss the AABB get near == far == FLT_MAX (CUDA-kernel
+    parity, ops/aabb.py): the render must stay finite — samples clip to the
+    box and the degenerate output carries no NaNs/infs in rgb/semantics."""
+    model, variables = tiny_model
+    cfg = RenderConfig(num_steps=16, upsample_steps=16)
+    n = 16
+    # origins outside the box, directions pointing further away
+    rays_o = jnp.tile(jnp.array([[3.0, 0.0, 0.0]]), (n, 1))
+    rays_d = jnp.tile(jnp.array([[1.0, 0.3, 0.0]]), (n, 1))
+    dn = jnp.full((n,), float(jnp.linalg.norm(rays_d[0])))
+    out = render_rays(model, variables, rays_o, rays_d, dn,
+                      jax.random.key(2), cfg)
+    for k in ("image", "semantics"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    assert not np.isnan(np.asarray(out["depth"])).any()
+
+
 def test_staged_render_matches_unstaged(tiny_model):
     """Chunked full-frame render must equal the single-batch render."""
     model, variables = tiny_model

@@ -14,16 +14,26 @@ from ucsa_neural_rendering_tpu.train import (SegTrainer, cross_entropy_ignore,
 
 
 def test_cross_entropy_ignore_matches_torch(rng):
+    """The reference's exact form: reduction="none" then .mean() over ALL
+    pixels (ref semantics_lightning_net.py:79-89) — torch zeroes ignored
+    entries but the denominator is the total count, NOT torch's default
+    reduction="mean" (sum/valid)."""
     import torch
     import torch.nn.functional as F
 
     logits = rng.normal(size=(2, 5, 7, 4)).astype(np.float32)
     labels = rng.integers(-1, 4, size=(2, 5, 7))
+    assert (labels == -1).sum() > 0  # the two normalizations must differ
     ours = float(cross_entropy_ignore(jnp.asarray(logits),
                                       jnp.asarray(labels)))
     ref = F.cross_entropy(torch.from_numpy(logits.transpose(0, 3, 1, 2)),
-                          torch.from_numpy(labels), ignore_index=-1).item()
+                          torch.from_numpy(labels), ignore_index=-1,
+                          reduction="none").mean().item()
     assert abs(ours - ref) < 1e-4
+    ref_by_valid = F.cross_entropy(
+        torch.from_numpy(logits.transpose(0, 3, 1, 2)),
+        torch.from_numpy(labels), ignore_index=-1).item()
+    assert abs(ours - ref_by_valid) > 1e-3  # and we match the right one
 
 
 def test_cross_entropy_double_softmax_matches_reference_quirk(rng):
@@ -44,8 +54,9 @@ def test_cross_entropy_double_softmax_matches_reference_quirk(rng):
 
 def test_cross_entropy_all_ignored_is_finite(rng):
     """A batch whose every pixel is −1 (possible for pure novel-viewpoint
-    replay assemblies) must yield loss 0 with finite (zero) gradients, not
-    torch's 0/0 NaN."""
+    replay assemblies) must yield loss 0 with finite (zero) gradients —
+    which is also exactly what the reference's reduction="none".mean()
+    produces (torch's default reduction="mean" would give 0/0 NaN)."""
     logits = rng.normal(size=(2, 3, 3, 4)).astype(np.float32)
     labels = np.full((2, 3, 3), -1, np.int32)
     loss, grads = jax.value_and_grad(

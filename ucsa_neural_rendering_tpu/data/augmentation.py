@@ -199,7 +199,10 @@ def rescale_to_canonical(img: np.ndarray, labels: list, out_hw=(240, 320)):
     if h >= 2 * oh or h < oh or w < ow:
         scale = max(oh / h, ow / w) * 1.2
     if scale is not None:
-        nh, nw = int(round(h * scale)), int(round(w * scale))
+        # torch interpolate(scale_factor=sf, recompute_scale_factor=False)
+        # FLOORS the output size — round() would grow the canvas by 1px on
+        # most real inputs and shift the random-crop offset distribution
+        nh, nw = int(h * scale), int(w * scale)
         nh, nw = max(nh, oh), max(nw, ow)
         img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
         labels = [cv2.resize(l.astype(np.float32), (nw, nh),

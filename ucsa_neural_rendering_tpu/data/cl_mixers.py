@@ -11,14 +11,30 @@ the joint dataset — same here.
 import numpy as np
 
 
-class ScanNetCLJoint:
+class _EpochMixin:
+    """set_epoch support shared by the mixers: forward to both wrapped
+    datasets (the 25k dataset's augmentation stream is a pure function of
+    (seed, epoch, index) and would otherwise stay frozen at epoch 0 — the
+    DataLoader only propagates set_epoch to its direct dataset), and re-key
+    the replay-draw RNG from (seed, epoch) so replay selection replays
+    identically on resume."""
+
+    def set_epoch(self, epoch: int):
+        for ds in (self.scannet_25k, self.scannet_ngp):
+            if hasattr(ds, "set_epoch"):
+                ds.set_epoch(epoch)
+        self._rng = np.random.default_rng((self._seed, int(epoch)))
+
+
+class ScanNetCLJoint(_EpochMixin):
     """Joint-training wrapper: item dict + replay_img/replay_label stacks."""
 
     def __init__(self, scannet_25k, scannet_ngp, ngp_25k_ratio=1, seed=0):
         self.scannet_25k = scannet_25k
         self.scannet_ngp = scannet_ngp
         self.ngp_25k_ratio = ngp_25k_ratio
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._rng = np.random.default_rng((seed, 0))
 
     def __len__(self):
         return len(self.scannet_ngp)
@@ -40,7 +56,7 @@ class ScanNetCLJoint:
         return self.scannet_ngp.collate
 
 
-class ScanNetCL:
+class ScanNetCL(_EpochMixin):
     """Finetune wrapper: flattens (scene item + replay items) into one batch
     at collate time (ref scannet_cl.py:50-79)."""
 
@@ -48,7 +64,8 @@ class ScanNetCL:
         self.scannet_25k = scannet_25k
         self.scannet_ngp = scannet_ngp
         self.ngp_25k_ratio = ngp_25k_ratio
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._rng = np.random.default_rng((seed, 0))
 
     def __len__(self):
         return len(self.scannet_ngp)

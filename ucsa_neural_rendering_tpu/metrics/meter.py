@@ -6,7 +6,11 @@ ranks (`all_gather`) and runs sklearn's confusion_matrix on host — an O(pixels
 device→host copy per step. Here the confusion matrix is accumulated ON DEVICE
 as a CxC int32 via one `bincount` per update (a fused scatter-add under jit),
 and only the tiny CxC matrix is ever reduced across the mesh (`psum`) or
-copied to host. `measure()` reproduces the reference's exact metric math:
+copied to host. Cross-update accumulation happens host-side in int64: a
+single batch fits int32 comfortably, but a 25k-scale eval is ~10^10 pixels
+and a dominant class would wrap an int32 cell (the reference's sklearn path
+accumulates int64 too); the per-update copy is 40x40x4 bytes.
+`measure()` reproduces the reference's exact metric math:
 mIoU over classes existing in the ground truth, total accuracy, and mean
 class accuracy, with -1 pixels ignored.
 """
@@ -81,19 +85,19 @@ class SemanticsMeter:
     def update(self, preds, truths):
         delta = confusion_matrix_update(jnp.asarray(preds), jnp.asarray(truths),
                                         self.number_classes)
+        self.update_confmat(delta)
+
+    def update_confmat(self, conf_mat):
+        """Accumulate a precomputed CxC matrix (e.g. psum'd across a mesh).
+
+        The running total lives host-side as int64 so arbitrarily long evals
+        can't wrap an int32 cell (module docstring)."""
+        delta = np.asarray(jax.device_get(conf_mat), dtype=np.int64)
         if self.conf_mat is None:
             self.conf_mat = delta
         else:
             self.conf_mat = self.conf_mat + delta
 
-    def update_confmat(self, conf_mat):
-        """Accumulate a precomputed CxC matrix (e.g. psum'd across a mesh)."""
-        conf_mat = jnp.asarray(conf_mat)
-        if self.conf_mat is None:
-            self.conf_mat = conf_mat
-        else:
-            self.conf_mat = self.conf_mat + conf_mat
-
     def measure(self):
         assert self.conf_mat is not None, "measure() called on empty meter"
-        return measure_from_confmat(np.asarray(jax.device_get(self.conf_mat)))
+        return measure_from_confmat(self.conf_mat)

@@ -10,15 +10,20 @@ Module names mirror the torch state_dict keys (conv1/bn1, layerL_B with
 conv1..3, bn1..3, downsample_conv/bn) so the weight converter is a pure
 rename + transpose.
 
-BatchNorm semantics match torch: momentum 0.1 (flax momentum=0.9),
-eps 1e-5; `use_running_average=False` updates `batch_stats` (torch .train()),
-True freezes them (.eval()) — this split is what lets the joint trainer
-reproduce the reference's BN-only-train trick
+BatchNorm semantics match torch exactly (TorchBatchNorm below): momentum
+0.1 (EMA keep-factor 0.9), eps 1e-5, and — where flax's nn.BatchNorm
+differs — the running variance stores the UNBIASED (Bessel-corrected)
+batch variance like torch.nn.BatchNorm2d, while normalization uses the
+biased one; `use_running_average=False` updates `batch_stats`
+(torch .train()), True freezes them (.eval()) — this split is what lets
+the joint trainer reproduce the reference's BN-only-train trick
 (ref: joint_train_lightning_net.py:373-379).
 """
 
 from functools import partial
+from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -41,7 +46,60 @@ TINY_LAYOUT = (
     ("layer4", 1, 8, 1, 2, 4),
 )
 
-BN = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's exact running-stat semantics.
+
+    flax's nn.BatchNorm stores the BIASED batch variance into `var`;
+    torch.nn.BatchNorm2d normalizes with the biased variance but stores the
+    UNBIASED (Bessel ×n/(n−1)) variance in running_var. The factor is
+    invisible when stats come from a converted checkpoint, but every
+    train-mode update (pretraining; the joint loop's BN-only-train trick,
+    ref joint_train_lightning_net.py:373-379) would otherwise drift
+    eval-mode activations — at the reference ASPP pooling branch (n = batch
+    size 4) the stored variance would sit 25% low. Same interface and
+    params/batch_stats tree as nn.BatchNorm (scale/bias, mean/var), so the
+    torch weight converter and existing checkpoints drop in unchanged.
+    Stats are computed and stored in f32 regardless of compute dtype; a
+    global jnp.mean under jit means a sharded batch yields synced-BN
+    semantics on a mesh, matching the single-device math.
+    """
+
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x32, axes)
+            var = jnp.mean(jnp.square(x32 - mean), axes)  # biased: normalize
+            if not self.is_initializing():
+                n = x.size // feat
+                bessel = n / max(n - 1, 1)  # n==1: torch would raise; keep 1
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * (var * bessel)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = ((x.astype(self.dtype) - mean.astype(self.dtype))
+             * inv.astype(self.dtype) + bias.astype(self.dtype))
+        return y
+
+
+BN = partial(TorchBatchNorm, momentum=0.9, epsilon=1e-5)
 
 
 class Bottleneck(nn.Module):

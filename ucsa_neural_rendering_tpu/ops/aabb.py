@@ -24,9 +24,15 @@ def near_far_from_aabb(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     Returns:
       (nears, fars): [...] entry/exit distances. Rays that miss the box get
-      near == far == clamped crossing point, giving zero-extent sampling
-      intervals (all samples collapse to one point; compositing weights then
-      carry no signal) — same degenerate behaviour as the CUDA kernel.
+      near == far == FLT_MAX exactly like the CUDA kernel (raymarching.cu:
+      93-94,106-107): all samples then land at the renderer's AABB clip
+      corner. (Returning a collapsed interval at min_near instead — the
+      pre-round-3 behaviour — composited weight ~1 just in front of the
+      camera and backpropagated rgb gradient into the density there.)
+      One deliberate divergence: a ray whose box exit lies closer than
+      min_near gets a zero-extent interval here, where the CUDA kernel
+      leaves an INVERTED one (far < near → descending z, negative deltas);
+      tested in test_reference_parity.py::test_near_far_matches_cuda_port.
     """
     eps = 1e-15
     inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < eps,
@@ -35,6 +41,8 @@ def near_far_from_aabb(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     t1 = (aabb[3:] - rays_o) * inv_d
     t_near = jnp.minimum(t0, t1).max(axis=-1)
     t_far = jnp.maximum(t0, t1).min(axis=-1)
+    miss = t_near > t_far  # disjoint slabs, tested before the clamps
     t_near = jnp.maximum(t_near, min_near)
     t_far = jnp.maximum(t_far, t_near)
-    return t_near, t_far
+    fmax = jnp.finfo(t_near.dtype).max
+    return jnp.where(miss, fmax, t_near), jnp.where(miss, fmax, t_far)

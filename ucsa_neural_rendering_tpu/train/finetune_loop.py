@@ -70,11 +70,13 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
 
     val_ds = ScanNetNGP(root=env["scannet"], mode="val", val_mode="gtgt",
                         scene_list=scenes, output_size=output_size)
+    # seed threads through so --seed changes augmentation/"half"-mode/replay
+    # streams too (the reference's seed_everything reseeds all of these)
     train_ds = ScanNetNGP(root=env["scannet"], mode="train",
                           train_image=cfg_dm.get("train_image", "nerf"),
                           train_label=cfg_dm.get("train_label", "nerf"),
                           scene_list=scenes, prev_exp_name=prev_exp_name,
-                          output_size=output_size)
+                          output_size=output_size, seed=args.seed)
     collate = None
     if exp["cl"].get("active"):
         split = load_split(os.path.join(
@@ -85,9 +87,10 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
                                        * len(img_list_cl))]
         scannet_25k = ScanNet(root=env["scannet_frames_25k"],
                               img_list=img_list_cl, mode="train",
-                              output_size=output_size)
+                              output_size=output_size, seed=args.seed)
         train_ds = ScanNetCL(scannet_25k, train_ds,
-                             ngp_25k_ratio=exp["cl"]["ngp_25k_ratio"])
+                             ngp_25k_ratio=exp["cl"]["ngp_25k_ratio"],
+                             seed=args.seed)
         collate = ScanNetCL.collate
 
     bs = cfg_dm["batch_size"]

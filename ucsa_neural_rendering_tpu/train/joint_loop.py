@@ -87,9 +87,13 @@ def _nerf_batch(item_batch):
     }
 
 
-def build_datamodule(exp, env, output_size, val_scene_list=None):
+def build_datamodule(exp, env, output_size, val_scene_list=None, seed=0):
     """The six datasets of the reference's JointTrainDataModule
-    (ref: nr4seg/lightning/joint_train_data_module.py:30-117)."""
+    (ref: nr4seg/lightning/joint_train_data_module.py:30-117). `seed`
+    threads into the train-mode datasets' augmentation/replay RNG streams
+    (the reference's seed_everything reseeds these; the deliberate
+    random.Random(0) replay-frame shuffle stays seed-independent for
+    bit-parity with the reference)."""
     scenes = exp["scenes"]
     exp_name = exp["exp_name"]
     root = env["scannet"]
@@ -110,10 +114,10 @@ def build_datamodule(exp, env, output_size, val_scene_list=None):
     dm["train_nerf"] = ScanNetNGPJoint(root=root, mode="train",
                                        scene_list=scenes, exp_name=exp_name,
                                        only_new_scene=True,
-                                       output_size=output_size)
+                                       output_size=output_size, seed=seed)
     train_joint = ScanNetNGPJoint(
         root=root, mode="train", scene_list=scenes, exp_name=exp_name,
-        only_new_scene=False,
+        only_new_scene=False, seed=seed,
         use_novel_viewpoints=exp["cl"].get("use_novel_viewpoints", False),
         # hardcoded False exactly like the reference's data module (ref
         # joint_train_data_module.py:85): --fix_nerf only gates the NeRF
@@ -132,9 +136,10 @@ def build_datamodule(exp, env, output_size, val_scene_list=None):
                                        * len(img_list_cl))]
         scannet_25k = ScanNet(root=env["scannet_frames_25k"],
                               img_list=img_list_cl, mode="train",
-                              output_size=output_size)
+                              output_size=output_size, seed=seed)
         train_joint = ScanNetCLJoint(scannet_25k, train_joint,
-                                     ngp_25k_ratio=exp["cl"]["ngp_25k_ratio"])
+                                     ngp_25k_ratio=exp["cl"]["ngp_25k_ratio"],
+                                     seed=seed)
     dm["train_joint"] = train_joint
     # 25k generalization test set (ref joint_train_data_module.py:55-66);
     # only when the split file is configured and on disk (shared helper
@@ -318,7 +323,8 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
         batch_stats = jax.tree.map(jnp.asarray, batch_stats)
         seg_state = (params, batch_stats, trainer.seg_tx.init(params))
 
-    dm = build_datamodule(exp, env, output_size, val_scene_list)
+    dm = build_datamodule(exp, env, output_size, val_scene_list,
+                          seed=args.seed)
     bs = exp["data_module"]["batch_size"]
     viz_cfg = exp.get("visualizer", {})
     visualizer = Visualizer(os.path.join(model_path, "visu"),

@@ -32,7 +32,15 @@ from ..models.deeplabv3 import DeepLabV3
 
 
 def cross_entropy_ignore(logits, labels, double_softmax=False):
-    """Mean softmax CE over pixels with label >= 0; -1 ignored.
+    """Softmax CE with -1 ignored, averaged over ALL pixels.
+
+    The reference computes `F.cross_entropy(..., ignore_index=-1,
+    reduction="none").mean()` in both seg paths (ref semantics_lightning_
+    net.py:79-89, joint_train_lightning_net.py:37,458): torch zeroes the
+    entries at ignored targets but the mean still divides by the TOTAL
+    pixel count — NOT torch's default reduction="mean" (sum/valid). The
+    distinction scales gradients by valid/total on every batch containing
+    unlabeled pixels, so it is load-bearing for LR parity.
 
     `double_softmax=True` replicates the reference's probabilities-into-
     F.cross_entropy quirk for strict behavioural parity.
@@ -44,8 +52,7 @@ def cross_entropy_ignore(logits, labels, double_softmax=False):
     valid = labels >= 0
     picked = jnp.take_along_axis(
         logp, jnp.clip(labels, 0, num_classes - 1)[..., None], axis=-1)[..., 0]
-    n_valid = jnp.maximum(jnp.sum(valid), 1)
-    return jnp.sum(jnp.where(valid, -picked, 0.0)) / n_valid
+    return jnp.sum(jnp.where(valid, -picked, 0.0)) / labels.size
 
 
 def make_seg_optimizer(cfg_optimizer: dict, lr_key: str = "lr"):

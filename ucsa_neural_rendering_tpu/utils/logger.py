@@ -29,12 +29,12 @@ class MetricsLogger:
             except Exception:
                 self._tb = None
         try:
-            import wandb  # noqa: F401
-            import wandb as _wandb
-            self._wandb = _wandb.init(project=project_name or "ucsa-nr-tpu",
-                                      dir=save_dir, config=exp_config or {})
+            import wandb
+            self._wandb = wandb.init(project=project_name or "ucsa-nr-tpu",
+                                     dir=save_dir, config=exp_config or {})
         except Exception:
             self._wandb = None
+        self._img_seq = {}  # per-tag monotonic index for image filenames
         if exp_config:
             with open(os.path.join(save_dir, "hparams.json"), "w") as f:
                 json.dump(exp_config, f, indent=2, default=str)
@@ -56,17 +56,23 @@ class MetricsLogger:
     def log_image(self, tag: str, image, step: int | None = None):
         """Log one HWC uint8 image: PNG under save_dir/images (always) +
         wandb/TB when attached (the reference pushes every Visualizer plot to
-        its experiment logger, ref visualizer.py:60-81)."""
+        its experiment logger, ref visualizer.py:60-81). The filename carries
+        a per-tag monotonic index — `step` defaults to the scalar step, which
+        does not advance on image logs, so repeated image logs of one tag
+        would otherwise silently overwrite each other."""
         import numpy as np
         image = np.asarray(image)
         if step is None:
             step = self._step
+        seq = self._img_seq.get(tag, 0)
+        self._img_seq[tag] = seq + 1
         safe = tag.replace("/", "_")
         d = os.path.join(self.save_dir, "images")
         os.makedirs(d, exist_ok=True)
         try:
             import imageio.v2 as imageio
-            imageio.imwrite(os.path.join(d, f"{safe}_step_{step}.png"), image)
+            imageio.imwrite(
+                os.path.join(d, f"{safe}_step_{step}_{seq:04d}.png"), image)
         except Exception:
             pass
         if self._tb is not None:

@@ -17,8 +17,19 @@ def _to_uint8_image(img) -> np.ndarray:
     img = np.asarray(img)
     if img.ndim == 3 and img.shape[0] in (3, 4) and img.shape[0] < img.shape[-1]:
         img = np.transpose(img, (1, 2, 0))  # CHW → HWC
+    if img.ndim != 3 or img.shape[2] < 3:
+        # the reference raises on non-image shapes too (ref visualizer.py
+        # plot_image "Wrong data format") — slicing an HW array to
+        # (H, 3) silently would produce garbage
+        raise ValueError(f"plot_image expects HWC/CHW rgb(a), got shape "
+                         f"{img.shape}")
     if img.dtype != np.uint8:
-        img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+        img = img.astype(np.float32)
+        if img.max() <= 1.0:
+            # reference auto-detects range 0-1 vs 0-255
+            # (ref visualizer.py plot_image)
+            img = img * 255.0
+        img = np.clip(img, 0.0, 255.0).astype(np.uint8)
     return img[..., :3]
 
 
