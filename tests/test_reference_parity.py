@@ -712,6 +712,127 @@ def test_seg_fit_trajectory_matches_torch(opt_cfg):
     assert jax_losses[-1] < jax_losses[0]
 
 
+def test_seg_bn_trajectory_matches_torch():
+    """Multi-step train-mode BatchNorm twin: conv → BN → relu → conv
+    trained with Adam vs torch, comparing per-step losses, the BN running
+    stats after N steps, and a final eval-mode forward. Exercises
+    TorchBatchNorm's split semantics in situ (normalize with the biased
+    batch variance, store the unbiased one — the part flax's nn.BatchNorm
+    gets wrong; models/resnet.py)."""
+    import optax
+    import torch.nn.functional as F
+    from torch import nn as tnn
+
+    from ucsa_neural_rendering_tpu.models.resnet import TorchBatchNorm
+    from ucsa_neural_rendering_tpu.train.seg_trainer import \
+        cross_entropy_ignore
+
+    C, H, W, B, N_STEPS = 4, 8, 10, 3, 10
+    rng = np.random.default_rng(5)
+    w1 = rng.uniform(-0.3, 0.3, (8, 3, 3, 3)).astype(np.float32)
+    b1 = rng.uniform(-0.1, 0.1, 8).astype(np.float32)
+    g1 = rng.uniform(0.5, 1.5, 8).astype(np.float32)
+    beta1 = rng.uniform(-0.1, 0.1, 8).astype(np.float32)
+    w2 = rng.uniform(-0.3, 0.3, (C, 8, 1, 1)).astype(np.float32)
+    b2 = rng.uniform(-0.1, 0.1, C).astype(np.float32)
+    imgs = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    labels = rng.integers(-1, C, (B, H, W)).astype(np.int64)
+
+    # torch side
+    conv1 = tnn.Conv2d(3, 8, 3, padding=1)
+    tbn = tnn.BatchNorm2d(8, eps=1e-5, momentum=0.1)
+    conv2 = tnn.Conv2d(8, C, 1)
+    with torch.no_grad():
+        conv1.weight.copy_(torch.from_numpy(w1))
+        conv1.bias.copy_(torch.from_numpy(b1))
+        tbn.weight.copy_(torch.from_numpy(g1))
+        tbn.bias.copy_(torch.from_numpy(beta1))
+        conv2.weight.copy_(torch.from_numpy(w2))
+        conv2.bias.copy_(torch.from_numpy(b2))
+    t_params = (list(conv1.parameters()) + list(tbn.parameters())
+                + list(conv2.parameters()))
+    opt = torch.optim.Adam(t_params, lr=1e-3)
+    t_img = torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+    t_lab = torch.from_numpy(labels)
+    torch_losses = []
+    tbn.train()
+    for _ in range(N_STEPS):
+        logits = conv2(torch.relu(tbn(conv1(t_img))))
+        probs = F.softmax(logits, dim=1)
+        loss = F.cross_entropy(probs, t_lab, ignore_index=-1,
+                               reduction="none").mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss))
+
+    # jax side (NHWC)
+    bn_train = TorchBatchNorm(use_running_average=False)
+    bn_eval = TorchBatchNorm(use_running_average=True)
+    params = {"w1": jnp.asarray(w1.transpose(2, 3, 1, 0)),
+              "b1": jnp.asarray(b1),
+              "scale": jnp.asarray(g1), "bias": jnp.asarray(beta1),
+              "w2": jnp.asarray(w2.transpose(2, 3, 1, 0)),
+              "b2": jnp.asarray(b2)}
+    stats = {"mean": jnp.zeros(8), "var": jnp.ones(8)}
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    j_img, j_lab = jnp.asarray(imgs), jnp.asarray(labels.astype(np.int32))
+
+    def forward(p, stats, train):
+        h = jax.lax.conv_general_dilated(
+            j_img, p["w1"], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b1"]
+        bn_vars = {"params": {"scale": p["scale"], "bias": p["bias"]},
+                   "batch_stats": stats}
+        if train:
+            h, mut = bn_train.apply(bn_vars, h, mutable=["batch_stats"])
+            new_stats = mut["batch_stats"]
+        else:
+            h = bn_eval.apply(bn_vars, h)
+            new_stats = stats
+        logits = jax.lax.conv_general_dilated(
+            jax.nn.relu(h), p["w2"], (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + p["b2"]
+        return logits, new_stats
+
+    @jax.jit
+    def step(params, stats, opt_state):
+        def loss_fn(p):
+            logits, new_stats = forward(p, stats, train=True)
+            return cross_entropy_ignore(logits, j_lab,
+                                        double_softmax=True), new_stats
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, opt_state, \
+            loss
+
+    jax_losses = []
+    for _ in range(N_STEPS):
+        params, stats, opt_state, loss = step(params, stats, opt_state)
+        jax_losses.append(float(loss))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-4)
+    # stat tolerance absorbs compounded fp divergence of 10 Adam steps
+    # (~6e-4 abs); the EXACT biased/unbiased discrimination is the
+    # single-update test in test_deeplab.py (rtol 1e-5, drift-free)
+    np.testing.assert_allclose(np.asarray(stats["mean"]),
+                               tbn.running_mean.detach().numpy(),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(stats["var"]),
+                               tbn.running_var.detach().numpy(),
+                               rtol=5e-3, atol=2e-3)
+    # eval-mode forward with the trained running stats
+    tbn.eval()
+    with torch.no_grad():
+        t_eval = conv2(torch.relu(tbn(conv1(t_img))))
+    j_eval, _ = forward(params, stats, train=False)
+    np.testing.assert_allclose(
+        np.asarray(j_eval),
+        t_eval.numpy().transpose(0, 2, 3, 1), rtol=1e-2, atol=5e-3)
+
+
 # -------------------------------------------------------------------- meter
 
 def test_semantics_meter_matches_reference():
