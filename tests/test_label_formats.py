@@ -67,6 +67,50 @@ def test_rgba_prob_packed(scannet_root, tmp_path):
     assert abs(probs[0, 0, 1] - 0.5) < 2e-3
 
 
+def test_rgba_decode_edge_cases_match_reference_loop(scannet_root, tmp_path):
+    """The reference scatters the 3 channels into a 40-class volume in
+    channel order (later channel OVERWRITES a duplicate class) then
+    argmaxes with ties breaking to the lowest class id (ref
+    label_loader.py:29-37). A per-channel argmax diverges on both cases
+    (round-3 review finding); compare against a straight transcription."""
+    import cv2
+    h, w = 1, 3
+    img = np.zeros((h, w, 4), np.uint16)
+
+    def pack(cls, prob1023):
+        return (cls << 10) | prob1023
+
+    # tie: class 10 and class 5 both at 512/1023 → volume argmax picks 5
+    img[0, 0, 0] = pack(10, 512)
+    img[0, 0, 1] = pack(5, 512)
+    # duplicate class: ch0 class 5 @0.9, ch1 class 7 @0.5, ch2 class 5 @0.1
+    # → the later channel overwrites class 5's slot with 0.1 → class 7 wins
+    img[0, 1, 0] = pack(5, 920)
+    img[0, 1, 1] = pack(7, 512)
+    img[0, 1, 2] = pack(5, 102)
+    # plain case
+    img[0, 2, 0] = pack(3, 1023)
+    p = str(tmp_path / "edge.png")
+    cv2.imwrite(p, img[..., [2, 1, 0, 3]])
+
+    loader = LabelLoaderAuto(root_scannet=scannet_root)
+    label, method = loader.get(p)
+    assert method == "RGBA"
+
+    # straight transcription of the reference decode
+    raw = img
+    vol = np.zeros((h, w, 40))
+    for i in range(3):
+        prob = np.bitwise_and(raw[:, :, i], np.uint16(0x3FF)) / 1023
+        cls = np.right_shift(raw[:, :, i], 10).astype(np.int64)
+        m = np.eye(40)[cls] == 1
+        vol[m] = prob.reshape(-1)
+    ref = (np.argmax(vol, axis=2) + 1).astype(np.int32)
+    np.testing.assert_array_equal(label, ref)
+    assert label[0, 0] == 6   # tie → lowest class id (5) + 1
+    assert label[0, 1] == 8   # duplicate overwrite → class 7 + 1
+
+
 def test_scannet_ngp_half_mode(tmp_path):
     from ucsa_neural_rendering_tpu.data import ScanNetNGP
     from ucsa_neural_rendering_tpu.data.synthetic import \

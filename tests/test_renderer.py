@@ -58,6 +58,77 @@ def test_render_missed_rays_finite(tiny_model):
     assert not np.isnan(np.asarray(out["depth"])).any()
 
 
+class _SheetModel:
+    """Analytic thin opaque sheet at 0.28 < z < 0.34, vacuum elsewhere: a
+    4-sample stage-1 (inclusive linspace over [0.2, 1.5] → world z ≈ −0.30,
+    0.13, 0.57, 1.00) straddles it, the 16-sample budget hits it — so rays
+    are genuinely ALIVE after stage-1 (saw only vacuum, t_rem = 1) AND
+    budget-sensitive (refinement changes the result by ~the sheet color)."""
+    bound = 1.0
+
+    def apply(self, variables, *args, method=None):
+        if method == "density":
+            x = args[0]
+            inside = (x[:, 2] > 0.28) & (x[:, 2] < 0.34)
+            return jnp.where(inside, 80.0, 0.0), x
+        if method == "color":
+            d, g = args
+            return jax.nn.sigmoid(g)
+        if method == "semantics":
+            g = args[0]
+            return jax.nn.softmax(
+                jnp.stack([g[:, 0], g[:, 1], g[:, 2], -g[:, 0]], -1))
+        raise ValueError(method)
+
+
+def test_early_stop_padding_cannot_steal_refine_slots():
+    """render_rays_early_stop(valid=...): filler lanes (the staged render's
+    padding) must never win top-K refine slots over real alive rays
+    (round-3 review finding). Lanes [0:h) are marked invalid and carry
+    EXACT COPIES of the real rays in [h:2h): their residuals tie at 1.0,
+    and top_k breaks ties toward the lower (invalid) index — without the
+    mask every refine slot would go to the filler lanes and the real rays
+    would keep their empty stage-1 result."""
+    from dataclasses import replace
+
+    from ucsa_neural_rendering_tpu.ops.renderer import render_rays_early_stop
+
+    model = _SheetModel()
+    h = 8
+    ro = jnp.tile(jnp.array([[0.05, -0.05, -0.5]]), (h, 1))
+    tilt = jnp.linspace(-0.05, 0.05, h)[:, None]
+    rd = jnp.concatenate([tilt, jnp.zeros_like(tilt),
+                          jnp.ones_like(tilt)], -1)
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    dn = jnp.ones((h,))
+    ro2 = jnp.concatenate([ro, ro], 0)
+    rd2 = jnp.concatenate([rd, rd], 0)
+    dn2 = jnp.concatenate([dn, dn], 0)
+    valid = jnp.concatenate([jnp.zeros(h, bool), jnp.ones(h, bool)])
+
+    cfg = RenderConfig(num_steps=16, upsample_steps=16, stage1_steps=4,
+                       refine_fraction=0.5, early_stop=True)
+    out = render_rays_early_stop(model, {}, ro2, rd2, dn2, cfg, valid=valid)
+    full = render_rays(model, {}, ro, rd, dn, None,
+                       RenderConfig(num_steps=16, upsample_steps=16))
+    cfg_a = replace(cfg, num_steps=cfg.stage1_steps, upsample_steps=0,
+                    early_stop=False)
+    stage1 = render_rays(model, {}, ro, rd, dn, None, cfg_a)
+
+    # non-vacuity: stage-1 really missed the sheet (alive, empty render)
+    # while the full budget caught it
+    assert np.asarray(jnp.sum(stage1["semantics"], -1)).max() < 1e-4
+    assert np.abs(np.asarray(stage1["image"])
+                  - np.asarray(full["image"])).max() > 0.1
+    # real (valid) lanes were refined to the full-budget result
+    for kname in ("image", "semantics", "depth"):
+        np.testing.assert_allclose(np.asarray(out[kname][h:]),
+                                   np.asarray(full[kname]), atol=1e-5)
+    # invalid filler lanes keep their stage-1 result (never refined)
+    np.testing.assert_allclose(np.asarray(out["image"][:h]),
+                               np.asarray(stage1["image"]), atol=1e-6)
+
+
 def test_staged_render_matches_unstaged(tiny_model):
     """Chunked full-frame render must equal the single-batch render."""
     model, variables = tiny_model

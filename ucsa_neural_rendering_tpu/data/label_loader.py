@@ -71,14 +71,20 @@ class LabelLoaderAuto:
     def _decode_rgba(self, img: np.ndarray) -> np.ndarray:
         chans = img[:, :, :3].astype(np.uint16)
         probs = (chans & np.uint16(0x3FF)).astype(np.float32) / 1023.0
-        classes = (chans >> 10).astype(np.int32)  # [H, W, 3]
-        best = probs.argmax(axis=2)
-        best_prob = np.take_along_axis(probs, best[..., None], axis=2)[..., 0]
-        best_class = np.take_along_axis(classes, best[..., None],
-                                        axis=2)[..., 0]
-        label = best_class + 1
+        classes = (chans >> 10).astype(np.int64)  # [H, W, 3]
+        # exactly the reference's decode (ref label_loader.py:29-37): the 3
+        # channels scatter into a 40-class volume IN CHANNEL ORDER — a later
+        # channel overwrites an earlier one carrying the same class — then
+        # the volume argmaxes (ties break to the LOWEST class id). A
+        # per-channel argmax diverges on quantized-probability ties and on
+        # duplicate classes across channels.
+        h, w, _ = chans.shape
+        vol = np.zeros((h, w, self.max_classes), np.float32)
+        np.put_along_axis(vol, classes, probs, axis=2)
+        best_prob = vol.max(axis=2)
+        label = (vol.argmax(axis=2) + 1).astype(np.int32)
         label[best_prob < self.confidence] = 0
-        return label.astype(np.int32)
+        return label
 
     def get_probs(self, path: str) -> np.ndarray:
         """Full HxWx40 probability volume of an RGBA-packed label."""

@@ -312,7 +312,7 @@ def render_rays_early_stop(model: SemanticNeRF, variables: Any,
                            direction_norms: jnp.ndarray,
                            cfg: RenderConfig = RenderConfig(),
                            occ_grid: jnp.ndarray | None = None, mesh=None,
-                           packed=None):
+                           packed=None, valid: jnp.ndarray | None = None):
     """Two-stage early-termination render of one ray batch (deterministic,
     render-only — training keeps the single-pass differentiable path).
 
@@ -339,6 +339,12 @@ def render_rays_early_stop(model: SemanticNeRF, variables: Any,
     # heads output a probability distribution weighted by detached w)
     acc = jnp.sum(out_a["semantics"], axis=-1)
     t_rem = 1.0 - acc
+    if valid is not None:
+        # padded filler lanes (the staged render's last chunk) must never
+        # win refine slots over real unsaturated rays — an empty filler
+        # path looks maximally "alive" and would displace up to K real
+        # rays, silently leaving them at stage-1 quality
+        t_rem = jnp.where(valid, t_rem, -jnp.inf)
 
     k = max(1, int(round(n * cfg.refine_fraction)))
     _, inds = jax.lax.top_k(t_rem, k)
@@ -389,16 +395,17 @@ def render_rays_staged(model: SemanticNeRF, variables: Any,
         rd = jnp.concatenate([rays_d, unit_z], 0)
     rd = rd.reshape(-1, chunk, 3)
     dn = pad(direction_norms, fill=1.0).reshape(-1, chunk)
+    vm = pad(jnp.ones((n,), jnp.bool_), fill=False).reshape(-1, chunk)
 
     def one_chunk(args):
-        o, d, nrm = args
+        o, d, nrm, v = args
         if cfg.early_stop:
             return render_rays_early_stop(model, variables, o, d, nrm, cfg,
-                                          occ_grid, mesh, packed)
+                                          occ_grid, mesh, packed, valid=v)
         return render_rays(model, variables, o, d, nrm, None, cfg, occ_grid,
                            mesh, packed)
 
-    out = jax.lax.map(one_chunk, (ro, rd, dn))
+    out = jax.lax.map(one_chunk, (ro, rd, dn, vm))
     return {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}
 
 
