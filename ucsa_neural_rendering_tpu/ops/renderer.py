@@ -336,7 +336,12 @@ def render_rays_early_stop(model: SemanticNeRF, variables: Any,
     out_a = render_rays(model, variables, rays_o, rays_d, direction_norms,
                         None, cfg_a, occ_grid, mesh, packed)
     # accumulated (masked) weight per ray == total semantic mass (semantics
-    # heads output a probability distribution weighted by detached w)
+    # heads output a probability distribution weighted by detached w).
+    # Note t_rem is NOT pure residual transmittance: the synthetic last
+    # delta (1e10) hands any residual to the final sample, so t_rem counts
+    # (a) mass the weight threshold masked out and (b) truly-zero-density
+    # paths (vacuum ⇒ last alpha = 0). Both are exactly the rays whose
+    # stage-1 result is untrustworthy; fully saturated rays score ~0.
     acc = jnp.sum(out_a["semantics"], axis=-1)
     t_rem = 1.0 - acc
     if valid is not None:
