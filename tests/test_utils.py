@@ -76,3 +76,41 @@ def test_visualizer_writes(tmp_path, rng):
     col = colorize_label(np.array([[0, 1], [40, 41]]))
     assert col.shape == (2, 2, 3)
     np.testing.assert_array_equal(col[0, 0], [0, 0, 0])
+
+
+def test_visualizer_image_range_and_shape(rng):
+    """plot_image matches the reference's semantics (ref visualizer.py
+    plot_image): auto-detect 0-255 vs 0-1 range, raise on non-image shapes
+    (round-3 review fixes)."""
+    from ucsa_neural_rendering_tpu.viz.visualizer import _to_uint8_image
+
+    img255 = rng.uniform(0, 255, (4, 5, 3)).astype(np.float32)
+    img255[0, 0, 0] = 255.0
+    out = _to_uint8_image(img255)
+    assert out.dtype == np.uint8 and out.max() > 128  # not clipped to ~1
+
+    img01 = rng.uniform(0, 1, (4, 5, 3)).astype(np.float32)
+    out01 = _to_uint8_image(img01)
+    np.testing.assert_array_equal(
+        out01, (np.clip(img01, 0, 1) * 255).astype(np.uint8))
+
+    chw = np.moveaxis(img01, 2, 0)
+    np.testing.assert_array_equal(_to_uint8_image(chw), out01)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _to_uint8_image(np.zeros((4, 5), np.float32))  # depth map, HW
+
+
+def test_log_image_filenames_never_collide(tmp_path, rng):
+    """Repeated image logs of one tag without interleaved scalar logs must
+    not overwrite each other (round-3 review fix: per-tag sequence in the
+    filename)."""
+    lg = MetricsLogger(str(tmp_path))
+    img = (rng.uniform(0, 255, (4, 5, 3))).astype(np.uint8)
+    lg.log_image("val/frame", img)
+    lg.log_image("val/frame", img)
+    lg.log_image("val/other", img)
+    lg.close()
+    files = sorted(os.listdir(tmp_path / "images"))
+    assert len(files) == 3 and len(set(files)) == 3
