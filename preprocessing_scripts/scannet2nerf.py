@@ -7,8 +7,8 @@ frame, apply the OpenGL axis flips, rotate the average up-vector to +z,
 center on the cameras' mutual point of attention (pairwise closest points of
 viewing rays), scale so `one_m_to_scene_uom = 4.0/avglen*0.33`, and write
 transforms_train.json / transforms_test.json carrying that scalar.
-Vectorized: the O(N²) pairwise closest-point accumulation runs as numpy
-broadcasting instead of a double Python loop.
+The O(N²) pairwise closest-point accumulation is kept as a readable double
+loop — N is tiny (every 10th frame) and this is an offline CLI.
 """
 
 import argparse
