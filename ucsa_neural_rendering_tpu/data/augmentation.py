@@ -26,7 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_GRAY = jnp.array([0.299, 0.587, 0.114])
+# numpy, NOT jnp: a module-level device array would initialize the jax
+# backend at import time — on axon-TPU hosts that can block on the remote
+# chip service, hanging even `scripts/*.py --help`. jnp ops promote it.
+_GRAY = np.array([0.299, 0.587, 0.114], np.float32)
 
 
 def _blend(a, b, f):

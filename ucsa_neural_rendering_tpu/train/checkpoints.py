@@ -13,7 +13,16 @@ import os
 
 import jax
 import numpy as np
-import orbax.checkpoint as ocp
+
+# orbax is imported lazily inside the save/load functions: importing it
+# initializes the jax device backend, which on axon-TPU hosts can block on
+# the remote chip service — `scripts/*.py --help` and other light imports
+# must not touch devices.
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+    return ocp
 
 
 def save_tree(path: str, tree):
@@ -24,7 +33,7 @@ def save_tree(path: str, tree):
     the previous checkpoint (the per-epoch `last_ckpt` is the resume
     anchor — losing it silently restarts training from epoch 0)."""
     import shutil
-    ckpt = ocp.StandardCheckpointer()
+    ckpt = _ocp().StandardCheckpointer()
     path = os.path.abspath(path)
     tmp = path + ".tmp"
     if os.path.exists(tmp):
@@ -40,7 +49,7 @@ def load_tree(path: str, target=None):
     """Restore a pytree. With `target` (a pytree of like-shaped arrays), the
     restored tree keeps target's STRUCTURE — required for optax opt_states,
     whose NamedTuple nesting orbax flattens to dicts otherwise."""
-    ckpt = ocp.StandardCheckpointer()
+    ckpt = _ocp().StandardCheckpointer()
     if target is None:
         return ckpt.restore(os.path.abspath(path))
     return ckpt.restore(os.path.abspath(path), target)
