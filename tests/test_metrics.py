@@ -71,13 +71,17 @@ def test_measure_from_confmat_all_correct():
 
 
 def test_meter_accumulates_past_int32():
-    """Cross-update accumulation is int64 on host: a 25k-scale eval
-    (~10^10 pixels) would wrap an int32 cell (round-3 review finding)."""
+    """Accumulation crosses int32 territory safely: device windows stay
+    small (int32-safe per the _FOLD_EVERY contract) and fold into a host
+    int64 total, so a 25k-scale eval (~10^10 pixels) can't wrap a cell
+    (round-3 review finding). Dispatch stays lazy between folds."""
     from ucsa_neural_rendering_tpu.metrics import SemanticsMeter
     meter = SemanticsMeter(2)
-    big = np.array([[2 ** 31 - 10, 0], [0, 5]], dtype=np.int32)
-    meter.update_confmat(big)
-    meter.update_confmat(big)
-    assert meter.conf_mat[0, 0] == 2 * (2 ** 31 - 10)  # no wraparound
+    per_update = 2 ** 24
+    n = 200  # total 200 * 2^24 = 3.36e9 > 2^31, spread over ~7 folds
+    big = np.array([[per_update, 0], [0, 5]], dtype=np.int32)
+    for _ in range(n):
+        meter.update_confmat(big)
+    assert meter.conf_mat[0, 0] == n * per_update  # no wraparound
     miou, tacc, macc = meter.measure()
     assert 0.99 < tacc <= 1.0

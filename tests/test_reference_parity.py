@@ -173,10 +173,12 @@ def test_near_far_matches_cuda_port():
 
 
 def test_near_far_miss_matches_cuda_port():
-    """Rays that MISS the box return near == far == FLT_MAX like the CUDA
-    kernel (raymarching.cu:93-94,106-107) — origins outside the box, half
-    the directions pointing away (round-3 review finding: a collapsed
-    near-plane interval instead composited weight at the camera)."""
+    """Rays that MISS the box return near == far == a huge sentinel like
+    the CUDA kernel's FLT_MAX (raymarching.cu:93-94,106-107) — ours is 1e10
+    (FLT_MAX would overflow downstream f32 midpoint sums to inf/NaN).
+    Origins outside the box, half the directions pointing away (round-3
+    review finding: a collapsed near-plane interval instead composited
+    weight at the camera)."""
     from ucsa_neural_rendering_tpu.ops.aabb import near_far_from_aabb
     rng = np.random.default_rng(7)
     N = 256
@@ -196,11 +198,14 @@ def test_near_far_miss_matches_cuda_port():
                                         jnp.asarray(aabb_np), 0.2)
     ref_n, ref_f = ref_n.numpy(), ref_f.numpy()
     mine_n, mine_f = np.asarray(mine_n), np.asarray(mine_f)
+    from ucsa_neural_rendering_tpu.ops.aabb import MISS_SENTINEL
     fmax = np.finfo(np.float32).max
     miss = ref_n == fmax
     assert 0.1 * N < miss.sum() < 0.9 * N  # both populations exercised
-    np.testing.assert_array_equal(mine_n[miss], ref_n[miss])
-    np.testing.assert_array_equal(mine_f[miss], ref_f[miss])
+    # identical MISS SET; ours carries the overflow-safe sentinel
+    np.testing.assert_array_equal(mine_n[miss], MISS_SENTINEL)
+    np.testing.assert_array_equal(mine_f[miss], MISS_SENTINEL)
+    assert (mine_n[~miss] < MISS_SENTINEL).all()
     ok = ~miss & (ref_f >= ref_n)
     np.testing.assert_allclose(mine_n[ok], ref_n[ok], atol=1e-4)
     np.testing.assert_allclose(mine_f[ok], ref_f[ok], atol=1e-4)

@@ -106,3 +106,36 @@ def test_seg_train_step_dp_mesh(rng):
     preds, logits = trainer.eval_step(state[0], state[1], images)
     assert preds.shape == (8, 32, 32)
     assert int(np.asarray(preds).max()) < 8
+
+
+def test_train_step_loss_unaffected_by_padding(rng):
+    """Mesh-divisibility padding (repeated images, −1 labels) must not
+    change the CE loss: the denominator is the REAL batch's pixel count
+    via n_real, like the reference's unpadded .mean() (round-3 review
+    finding — dividing by the padded size scaled gradients by real/padded,
+    e.g. halving them at the shipped batch_size=4 on an 8-device mesh)."""
+    import jax
+
+    from ucsa_neural_rendering_tpu.models.deeplabv3 import DeepLabV3
+    from ucsa_neural_rendering_tpu.models.resnet import TINY_LAYOUT
+    from ucsa_neural_rendering_tpu.train import SegTrainer
+
+    H = W = 16
+    model = DeepLabV3(num_classes=4, backbone_layout=TINY_LAYOUT,
+                      aspp_channels=8, head_channels=8)
+    tr = SegTrainer(model, {"name": "Adam", "lr": 1e-4})
+    state = tr.init(jax.random.key(0), image_hw=(H, W))
+    img = rng.uniform(0, 1, (2, H, W, 3)).astype(np.float32)
+    lab = rng.integers(-1, 4, (2, H, W)).astype(np.int32)
+
+    _, loss_real, _ = tr.train_step(state, img, lab, 1e-4,
+                                    dropout_key=jax.random.key(1))
+    # pad 2 → 4 the way pretrain_loop._pad_to does
+    img_p = np.concatenate([img, img], 0)
+    lab_p = np.concatenate([lab, np.full_like(lab, -1)], 0)
+    state2 = tr.init(jax.random.key(0), image_hw=(H, W))
+    _, loss_pad, _ = tr.train_step(state2, img_p, lab_p, 1e-4,
+                                   dropout_key=jax.random.key(1), n_real=2)
+    # BN batch stats differ (pads repeat real images by design), so allow
+    # a small tolerance; without n_real the ratio would be exactly 0.5
+    assert abs(float(loss_pad) / float(loss_real) - 1.0) < 0.05

@@ -79,6 +79,12 @@ class LabelLoaderAuto:
         # per-channel argmax diverges on quantized-probability ties and on
         # duplicate classes across channels.
         h, w, _ = chans.shape
+        # the 6-bit class field can encode 40-63; route out-of-range ids to
+        # prob 0 instead of crashing the scatter (the reference's
+        # np.eye(40)[cls] would IndexError on the same corrupt file)
+        oob = classes >= self.max_classes
+        classes = np.minimum(classes, self.max_classes - 1)
+        probs = np.where(oob, 0.0, probs)
         vol = np.zeros((h, w, self.max_classes), np.float32)
         np.put_along_axis(vol, classes, probs, axis=2)
         best_prob = vol.max(axis=2)

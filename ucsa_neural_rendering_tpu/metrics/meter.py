@@ -6,10 +6,11 @@ ranks (`all_gather`) and runs sklearn's confusion_matrix on host — an O(pixels
 device→host copy per step. Here the confusion matrix is accumulated ON DEVICE
 as a CxC int32 via one `bincount` per update (a fused scatter-add under jit),
 and only the tiny CxC matrix is ever reduced across the mesh (`psum`) or
-copied to host. Cross-update accumulation happens host-side in int64: a
-single batch fits int32 comfortably, but a 25k-scale eval is ~10^10 pixels
-and a dominant class would wrap an int32 cell (the reference's sklearn path
-accumulates int64 too); the per-update copy is 40x40x4 bytes.
+copied to host. Updates accumulate ON DEVICE (no host sync, dispatch runs
+ahead) and FOLD into a host int64 total every few dozen updates and at
+`measure()`: a single fold window fits int32 comfortably, but a 25k-scale
+eval is ~10^10 pixels and a dominant class would wrap an int32 cell (the
+reference's sklearn path accumulates int64 too).
 `measure()` reproduces the reference's exact metric math:
 mIoU over classes existing in the ground truth, total accuracy, and mean
 class accuracy, with -1 pixels ignored.
@@ -71,16 +72,25 @@ class SemanticsMeter:
     """Accumulating meter with the reference's interface
     (clear / update / measure), backed by a device-resident confusion matrix.
 
-    `update` accepts device or host arrays; accumulation happens on device and
-    nothing is transferred until `measure()`.
+    `update` accepts device or host arrays; per-batch matrices accumulate
+    on device without any host sync, and fold into a host int64 total every
+    `_FOLD_EVERY` updates and at `measure()` (module docstring).
     """
+
+    # device window before folding to host int64: 32 x a pathological
+    # 2*10^7-pixel update still stays ~3x under an int32 cell's 2^31
+    _FOLD_EVERY = 32
 
     def __init__(self, number_classes: int):
         self.number_classes = number_classes
-        self.conf_mat = None
+        self._host = None  # folded int64 running total
+        self._dev = None  # int32 device accumulator (lazy, unsynced)
+        self._pending = 0
 
     def clear(self):
-        self.conf_mat = None
+        self._host = None
+        self._dev = None
+        self._pending = 0
 
     def update(self, preds, truths):
         delta = confusion_matrix_update(jnp.asarray(preds), jnp.asarray(truths),
@@ -88,16 +98,27 @@ class SemanticsMeter:
         self.update_confmat(delta)
 
     def update_confmat(self, conf_mat):
-        """Accumulate a precomputed CxC matrix (e.g. psum'd across a mesh).
+        """Accumulate a precomputed CxC matrix (e.g. psum'd across a mesh)."""
+        conf_mat = jnp.asarray(conf_mat)
+        self._dev = conf_mat if self._dev is None else self._dev + conf_mat
+        self._pending += 1
+        if self._pending >= self._FOLD_EVERY:
+            self._fold()
 
-        The running total lives host-side as int64 so arbitrarily long evals
-        can't wrap an int32 cell (module docstring)."""
-        delta = np.asarray(jax.device_get(conf_mat), dtype=np.int64)
-        if self.conf_mat is None:
-            self.conf_mat = delta
-        else:
-            self.conf_mat = self.conf_mat + delta
+    def _fold(self):
+        if self._dev is not None:
+            d = np.asarray(jax.device_get(self._dev), dtype=np.int64)
+            self._host = d if self._host is None else self._host + d
+            self._dev = None
+        self._pending = 0
+
+    @property
+    def conf_mat(self):
+        """Folded int64 running total (forces a fold); None when empty."""
+        self._fold()
+        return self._host
 
     def measure(self):
-        assert self.conf_mat is not None, "measure() called on empty meter"
-        return measure_from_confmat(self.conf_mat)
+        self._fold()
+        assert self._host is not None, "measure() called on empty meter"
+        return measure_from_confmat(self._host)

@@ -10,6 +10,11 @@ fuses into the surrounding render step.
 
 import jax.numpy as jnp
 
+# miss rays' near/far value: far beyond any scene extent, but safe against
+# f32 overflow in downstream sums (the CUDA kernel uses FLT_MAX, whose
+# doubling is inf)
+MISS_SENTINEL = 1e10
+
 
 def near_far_from_aabb(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                        aabb: jnp.ndarray, min_near: float = 0.2):
@@ -24,9 +29,12 @@ def near_far_from_aabb(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     Returns:
       (nears, fars): [...] entry/exit distances. Rays that miss the box get
-      near == far == FLT_MAX exactly like the CUDA kernel (raymarching.cu:
-      93-94,106-107): all samples then land at the renderer's AABB clip
-      corner. (Returning a collapsed interval at min_near instead — the
+      near == far == MISS_SENTINEL (1e10), the same DEGENERATE behaviour as
+      the CUDA kernel's FLT_MAX (raymarching.cu:93-94,106-107): all samples
+      land at the renderer's AABB clip corner. FLT_MAX itself is unsafe
+      here — downstream midpoint sums (0.5*(z+z)) would overflow f32 to
+      inf and inverse-CDF interpolation would produce inf−inf = NaN.
+      (Returning a collapsed interval at min_near instead — the
       pre-round-3 behaviour — composited weight ~1 just in front of the
       camera and backpropagated rgb gradient into the density there.)
       One deliberate divergence: a ray whose box exit lies closer than
@@ -44,5 +52,5 @@ def near_far_from_aabb(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     miss = t_near > t_far  # disjoint slabs, tested before the clamps
     t_near = jnp.maximum(t_near, min_near)
     t_far = jnp.maximum(t_far, t_near)
-    fmax = jnp.finfo(t_near.dtype).max
-    return jnp.where(miss, fmax, t_near), jnp.where(miss, fmax, t_far)
+    return (jnp.where(miss, MISS_SENTINEL, t_near),
+            jnp.where(miss, MISS_SENTINEL, t_far))

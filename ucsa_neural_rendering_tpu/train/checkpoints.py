@@ -28,21 +28,27 @@ def _ocp():
 def save_tree(path: str, tree):
     """Save a pytree of arrays at `path` (a directory).
 
-    Write-then-swap: the tree lands in a sibling `.tmp` dir first and only
-    replaces `path` once fully written, so a crash mid-save never destroys
-    the previous checkpoint (the per-epoch `last_ckpt` is the resume
-    anchor — losing it silently restarts training from epoch 0)."""
+    Write-then-swap: the tree lands in a sibling `.tmp` dir first; the old
+    checkpoint is then renamed aside (one syscall), the new one renamed in,
+    and only then is the old one deleted — so at every instant either the
+    old or the new checkpoint exists at `path` up to a microseconds-wide
+    rename window (an rmtree-at-`path` window would be seconds for a
+    multi-hundred-MB orbax dir). The per-epoch `last_ckpt` is the resume
+    anchor — losing it silently restarts training from epoch 0."""
     import shutil
     ckpt = _ocp().StandardCheckpointer()
     path = os.path.abspath(path)
-    tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    tmp, old = path + ".tmp", path + ".old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     ckpt.save(tmp, jax.tree.map(np.asarray, tree))
     ckpt.wait_until_finished()
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def load_tree(path: str, target=None):

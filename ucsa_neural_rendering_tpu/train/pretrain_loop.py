@@ -54,13 +54,15 @@ def run_epoch(trainer, state, loader, batch_size, mesh, lr, meter, logger,
         epoch_key = jax.random.fold_in(jax.random.key(seed), epoch)
     for i, batch in enumerate(loader):
         img, label = batch[0], batch[1]
-        img, label, _ = _pad_to((img, label), target)
+        img, label, n_real = _pad_to((img, label), target)
         if mesh is not None:
             img, label = shard_batch((img, label), mesh)
         if train:
+            # n_real keeps the CE mean normalized by the REAL batch's
+            # pixels — pads (−1 labels) are invisible to the reference
             state, loss, conf = trainer.train_step(
                 state, img, label, lr,
-                dropout_key=jax.random.fold_in(epoch_key, i))
+                dropout_key=jax.random.fold_in(epoch_key, i), n_real=n_real)
             losses.append(float(loss))
             meter.update_confmat(conf)
         else:
@@ -115,13 +117,21 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
         target = {"params": state[0], "batch_stats": state[1],
                   "opt_state": state[2], "epoch": np.zeros((), np.int64),
                   "best_miou": np.zeros((), np.float64)}
-        tree = load_tree(resume_dir, target=target)
+        try:
+            tree = load_tree(resume_dir, target=target)
+            # restore the best score too (Lightning ModelCheckpoint keeps
+            # best_model_score across resume); restarting it at -1 would
+            # let the first post-resume epoch overwrite best_ckpt with a
+            # worse model
+            resumed_best = float(tree["best_miou"])
+        except Exception:
+            # checkpoint written before best_miou was tracked: restore the
+            # old structure rather than failing the resume outright
+            target.pop("best_miou")
+            tree = load_tree(resume_dir, target=target)
+            resumed_best = -1.0
         state = (tree["params"], tree["batch_stats"], tree["opt_state"])
         start_epoch = int(tree["epoch"])
-        # restore the best score too (Lightning ModelCheckpoint keeps
-        # best_model_score across resume); restarting it at -1 would let the
-        # first post-resume epoch overwrite best_ckpt with a worse model
-        resumed_best = float(tree["best_miou"])
     else:
         resumed_best = -1.0
 

@@ -31,7 +31,7 @@ from ..metrics.meter import confusion_matrix_update
 from ..models.deeplabv3 import DeepLabV3
 
 
-def cross_entropy_ignore(logits, labels, double_softmax=False):
+def cross_entropy_ignore(logits, labels, double_softmax=False, denom=None):
     """Softmax CE with -1 ignored, averaged over ALL pixels.
 
     The reference computes `F.cross_entropy(..., ignore_index=-1,
@@ -41,6 +41,11 @@ def cross_entropy_ignore(logits, labels, double_softmax=False):
     pixel count — NOT torch's default reduction="mean" (sum/valid). The
     distinction scales gradients by valid/total on every batch containing
     unlabeled pixels, so it is load-bearing for LR parity.
+
+    `denom`: pixel count to divide by. Defaults to labels.size — callers
+    whose batch carries PADDING rows (mesh-divisibility pads with −1
+    labels, pretrain_loop._pad_to) must pass the REAL batch's pixel count,
+    or padding silently scales loss/gradients down vs the reference.
 
     `double_softmax=True` replicates the reference's probabilities-into-
     F.cross_entropy quirk for strict behavioural parity.
@@ -52,7 +57,9 @@ def cross_entropy_ignore(logits, labels, double_softmax=False):
     valid = labels >= 0
     picked = jnp.take_along_axis(
         logp, jnp.clip(labels, 0, num_classes - 1)[..., None], axis=-1)[..., 0]
-    return jnp.sum(jnp.where(valid, -picked, 0.0)) / labels.size
+    if denom is None:
+        denom = labels.size
+    return jnp.sum(jnp.where(valid, -picked, 0.0)) / denom
 
 
 def make_seg_optimizer(cfg_optimizer: dict, lr_key: str = "lr"):
@@ -125,7 +132,8 @@ class SegTrainer:
             data = NamedSharding(mesh, P("data"))
             self._train_step = jax.jit(
                 self._train_step_impl,
-                in_shardings=((repl, repl, repl), (data, data), repl, repl),
+                in_shardings=((repl, repl, repl), (data, data), repl, repl,
+                              repl),
                 out_shardings=((repl, repl, repl), repl, repl),
                 donate_argnums=(0,))
             self._eval_step = jax.jit(
@@ -147,7 +155,7 @@ class SegTrainer:
         return (params, batch_stats, self.tx.init(params))
 
     # --- jitted impls ---
-    def _train_step_impl(self, state, batch, lr, dropout_key):
+    def _train_step_impl(self, state, batch, lr, dropout_key, denom):
         params, batch_stats, opt_state = state
         images, labels = batch
 
@@ -158,7 +166,7 @@ class SegTrainer:
                 rngs={"dropout": dropout_key},
                 mutable=["batch_stats"])
             loss = cross_entropy_ignore(out["out"], labels,
-                                        self.double_softmax)
+                                        self.double_softmax, denom=denom)
             return loss, (mutated["batch_stats"], out["out"])
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
@@ -182,18 +190,26 @@ class SegTrainer:
         return self._eval_step_impl(state, images)
 
     # --- public API ---
-    def train_step(self, state, images, labels, lr, dropout_key=None):
+    def train_step(self, state, images, labels, lr, dropout_key=None,
+                   n_real=None):
         """state=(params, batch_stats, opt_state); images [B,H,W,3] in [0,1];
         labels [B,H,W] int32 (-1 ignore); lr scalar (POLY schedule applied by
         the caller per epoch). Dropout is ACTIVE during training like the
         reference's .train() mode; pass dropout_key for reproducibility
         (auto-derived from a step counter otherwise).
+
+        n_real: number of REAL images in the batch when the leading axis
+        carries mesh-divisibility padding (pad labels are −1); the CE mean
+        divides by the real batch's pixel count, like the reference's
+        unpadded .mean(). Defaults to the full leading axis.
         Returns (state, loss, confusion_matrix)."""
         if dropout_key is None:
             self._auto_step = getattr(self, "_auto_step", 0) + 1
             dropout_key = jax.random.key(self._auto_step)
+        b = images.shape[0] if n_real is None else n_real
+        denom = jnp.float32(b * images.shape[1] * images.shape[2])
         return self._train_step(state, (images, labels), jnp.float32(lr),
-                                dropout_key)
+                                dropout_key, denom)
 
     def eval_step(self, params, batch_stats, images):
         """Returns (argmax preds [B,H,W], logits)."""
