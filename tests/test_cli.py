@@ -11,7 +11,8 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPTS = ["pretrain.py", "train_joint.py", "train_finetune.py",
-           "cl_deeplab.py", "create_split.py", "fit_synthetic.py"]
+           "cl_deeplab.py", "create_split.py", "fit_synthetic.py",
+           "exp_synthetic_cl.py"]
 
 
 @pytest.mark.parametrize("script", SCRIPTS)

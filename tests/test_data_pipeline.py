@@ -270,3 +270,43 @@ def test_rescale_to_canonical_size_matches_torch_floor():
         recompute_scale_factor=False, align_corners=False)
     assert out_img.shape[:2] == tuple(ref.shape[2:])
     assert out_labs[0].shape == tuple(ref.shape[2:])
+
+
+def test_scene_palette_variants():
+    """Variant 0 is the historic fixture bit-for-bit; variants k>0 have
+    identical geometry, family classes (k%7) and per-variant color jitter,
+    so a CL sequence over variants measures transfer AND forgetting
+    (scripts/exp_synthetic_cl.py — the synthetic stand-in for the
+    reference's 10-scene protocol)."""
+    from ucsa_neural_rendering_tpu.data.synthetic import (WALL_CLASS,
+                                                          WALL_RGB,
+                                                          _orbit_pose,
+                                                          analytic_frame,
+                                                          scene_palette)
+    rgb0, cls0 = scene_palette(0)
+    np.testing.assert_array_equal(rgb0, WALL_RGB)
+    np.testing.assert_array_equal(cls0, WALL_CLASS)
+    intr = np.array([0.75 * W, 0.75 * W, W / 2, H / 2], np.float32)
+    pose = _orbit_pose(0.3, 0.4)
+    img0, lab0, dep0 = analytic_frame(pose, intr, H, W)
+    seen = set(np.unique(lab0))
+    for k in (1, 2):
+        rgb_k, cls_k = scene_palette(k)
+        assert len(np.unique(rgb_k.round(4), axis=0)) == 6  # distinct colors
+        img_k, lab_k, dep_k = analytic_frame(pose, intr, H, W, variant=k)
+        np.testing.assert_array_equal(dep0, dep_k)  # same geometry
+        classes = set(np.unique(lab_k))
+        assert classes <= set(range(6 * k, 6 * k + 6))
+        assert not classes & seen  # no overlap with earlier variants
+        seen |= classes
+        assert not (img_k == img0).all()
+    # determinism: same variant → same palette
+    r1a, c1a = scene_palette(1)
+    r1b, c1b = scene_palette(1)
+    np.testing.assert_array_equal(r1a, r1b)
+    np.testing.assert_array_equal(c1a, c1b)
+    # family twins (k and k+7): SAME classes, DIFFERENT colors — the
+    # pretrain-corpus / CL-scene pairing of exp_synthetic_cl.py
+    r8, c8 = scene_palette(8)
+    np.testing.assert_array_equal(c1a, c8)
+    assert not (r1a == r8).all()
