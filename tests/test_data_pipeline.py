@@ -310,3 +310,25 @@ def test_scene_palette_variants():
     r8, c8 = scene_palette(8)
     np.testing.assert_array_equal(c1a, c8)
     assert not (r1a == r8).all()
+
+
+def test_host_augment_does_not_recompile_per_item():
+    """Eager per-item augmentation must hit the jit cache after the first
+    call: calling `augment` directly retraced its lax.switch branches per
+    image (4 fresh executables each), leaking XLA:CPU JIT code maps until
+    long pretrain runs SEGFAULTED at vm.max_map_count (round-3 finding).
+    `augment_jit` is the cached entry datasets must use."""
+    import jax
+
+    from ucsa_neural_rendering_tpu.data.augmentation import augment_jit
+
+    img = np.random.default_rng(0).uniform(0, 1, (48, 64, 3)).astype(
+        np.float32)
+    labels = [np.zeros((48, 64), np.float32)]
+    before = augment_jit._cache_size()  # other tests share the cache
+    for seed in range(3):
+        out_img, out_labels = augment_jit(
+            jax.random.key(seed), img, [np.asarray(l) for l in labels],
+            out_hw=(33, 41), only_crop=False)  # unique signature
+    assert out_img.shape == (33, 41, 3)
+    assert augment_jit._cache_size() == before + 1  # 3 calls, 1 executable

@@ -28,13 +28,39 @@ ROOT_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Persistent XLA compilation cache: TPU train-step compiles run minutes on
 # this toolchain; caching them across processes makes the CLI entry points
 # usable. Opt out with UCSA_NO_COMPILATION_CACHE=1.
+#
+# The cache dir is keyed by a HOST fingerprint (arch + CPU-flags hash):
+# XLA:CPU AOT entries on this toolchain are not keyed by machine features,
+# so a cache written on one machine and read on another loads code compiled
+# for the wrong CPU — the loader itself warns "could lead to execution
+# errors such as SIGILL", and intermittent segfaults/LLVM OOMs were traced
+# to exactly this when ~/.cache travels across hosts (e.g. VM snapshots).
+
+
+def _host_cache_fingerprint() -> str:
+    import hashlib
+    import platform
+    sig = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    sig += "-" + hashlib.sha256(
+                        line.encode()).hexdigest()[:10]
+                    break
+    except OSError:
+        pass
+    return sig
+
+
 if not os.environ.get("UCSA_NO_COMPILATION_CACHE"):
     try:
         import jax
+        _base = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/ucsa_jax_cache"))
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           os.path.expanduser("~/.cache/ucsa_jax_cache")))
+            os.path.join(_base, _host_cache_fingerprint()))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass

@@ -191,6 +191,18 @@ def augment(key, img, labels, out_hw=(240, 320), degrees=10.0, flip_p=0.5,
     return img, labels
 
 
+# Cached-jit entry for EAGER (host dataset) callers. Calling `augment`
+# eagerly re-traces its four `lax.switch` branches per call (the partial
+# closures are fresh objects), compiling ~4 new executables per image —
+# XLA:CPU JIT code pages are mmapped and never unmapped, so a long pretrain
+# run leaks memory maps until it segfaults at vm.max_map_count (~65k; found
+# round 3 via scripts/exp_synthetic_cl.py 40-epoch runs). Under jit the
+# branches trace once per (shape, config) signature. In-jit callers
+# (joint_trainer) keep using `augment` directly.
+augment_jit = jax.jit(augment, static_argnames=(
+    "out_hw", "degrees", "flip_p", "jitter_bcsh", "only_crop"))
+
+
 def rescale_to_canonical(img: np.ndarray, labels: list, out_hw=(240, 320)):
     """Host-side conditional rescale matching helper.py:158-187: upscale by
     max(outH/H, outW/W)*1.2 when the image is smaller than the output, or

@@ -27,7 +27,7 @@ import os
 import imageio.v2 as imageio
 import numpy as np
 
-from .augmentation import augment, rescale_to_canonical
+from .augmentation import augment_jit, rescale_to_canonical
 from .label_loader import LabelLoaderAuto
 
 
@@ -41,9 +41,10 @@ def _host_augment(seed, img, labels, out_hw, only_crop):
     import jax.numpy as jnp
     ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
     with ctx:
-        img_j, labels_j = augment(jax.random.key(seed), jnp.asarray(img),
-                                  [jnp.asarray(l) for l in labels],
-                                  out_hw=out_hw, only_crop=only_crop)
+        img_j, labels_j = augment_jit(
+            jax.random.key(seed), jnp.asarray(img),
+            [jnp.asarray(l) for l in labels],
+            out_hw=tuple(out_hw), only_crop=only_crop)
         return (np.asarray(img_j),
                 [np.asarray(l) for l in labels_j])
 
