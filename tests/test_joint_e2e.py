@@ -197,3 +197,55 @@ def test_joint_step_logs_mean_nerf_loss_over_images(fixture_env):
         ("p", "o"), ("sp", "sb", "so"), None, batch_new, None,
         jax.random.key(0))
     assert abs(float(logs["loss_nerf_total"]) - 2.0) < 1e-6
+
+
+def test_predict_render_cfg_plumbing(fixture_env):
+    """A distinct `predict_render_cfg` drives ONLY the predict-phase
+    renders (run_predict / predict_frame); test metrics and in-training
+    renders keep test_cfg. Without one, predict shares the test program
+    (no duplicate compile)."""
+    import jax
+    from dataclasses import replace
+
+    exp = make_exp()
+    # default: predict aliases the test program
+    tr = joint_loop.JointTrainer(exp, image_hw=(H, W),
+                                 num_classes=NUM_CLASSES,
+                                 render_cfg=RENDER_CFG,
+                                 **small_trainer_kwargs())
+    assert tr.predict_cfg == tr.test_cfg
+    assert tr._render_frames_predict_jit is tr._render_frames_jit
+
+    # distinct predict config: cheaper budget, separate program
+    pc = replace(RENDER_CFG, num_steps=8, upsample_steps=8)
+    tr2 = joint_loop.JointTrainer(exp, image_hw=(H, W),
+                                  num_classes=NUM_CLASSES,
+                                  render_cfg=RENDER_CFG,
+                                  predict_render_cfg=pc,
+                                  **small_trainer_kwargs())
+    # test_cfg keeps its derived early-stop default (same as tr's);
+    # only the predict path changes
+    assert tr2.predict_cfg == pc and tr2.test_cfg == tr.test_cfg
+    assert tr2._render_frames_predict_jit is not tr2._render_frames_jit
+
+    params, _ = tr2.init_nerf(jax.random.key(0))
+    pose = np.eye(4, dtype=np.float32)
+    intr = jnp.asarray([20.0, 20.0, W / 2, H / 2], jnp.float32)
+    out_t = tr2.render_frames(params, pose[None], intr, which="test")
+    out_p = tr2.render_frames(params, pose[None], intr, which="predict")
+    for o in (out_t, out_p):
+        assert o["nerf_rgb"].shape == (1, H, W, 3)
+        assert o["nerf_semantics"].shape == (1, H, W)
+        assert np.all(np.isfinite(np.asarray(o["nerf_rgb"])))
+    # the 8+8 predict budget is a different program with different sample
+    # placement — outputs are finite and shaped, not bit-equal; at an
+    # UNTRAINED field both argmax over near-uniform semantics, so just
+    # check the test-path output is unchanged by predict's existence
+    tr3 = joint_loop.JointTrainer(exp, image_hw=(H, W),
+                                  num_classes=NUM_CLASSES,
+                                  render_cfg=RENDER_CFG,
+                                  **small_trainer_kwargs())
+    params3, _ = tr3.init_nerf(jax.random.key(0))
+    out_t3 = tr3.render_frames(params3, pose[None], intr, which="test")
+    np.testing.assert_array_equal(np.asarray(out_t["nerf_rgb"]),
+                                  np.asarray(out_t3["nerf_rgb"]))

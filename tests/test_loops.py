@@ -33,13 +33,15 @@ def env25k(tmp_path_factory):
 
 def test_render_cfgs_from_exp():
     """YAML renderer-block plumbing: verbatim RenderConfig fields, test_
-    overrides, the symmetric-test-budget shorthand, unknown keys ignored."""
+    and predict_ overrides, the symmetric-budget shorthand, unknown keys
+    ignored."""
     from ucsa_neural_rendering_tpu.train.joint_loop import render_cfgs_from_exp
 
-    rc, tc = render_cfgs_from_exp({"renderer": {}})
-    assert (rc.num_steps, rc.upsample_steps) == (256, 256) and tc is None
+    rc, tc, pc = render_cfgs_from_exp({"renderer": {}})
+    assert (rc.num_steps, rc.upsample_steps) == (256, 256)
+    assert tc is None and pc is None
 
-    rc, tc = render_cfgs_from_exp({"renderer": {
+    rc, tc, pc = render_cfgs_from_exp({"renderer": {
         "num_steps": 32, "upsample_steps": 32, "packed_max_entries": 0,
         "test_num_steps": 16, "test_early_stop": True,
         "test_stage1_steps": 8, "not_a_field": 1}})
@@ -48,17 +50,36 @@ def test_render_cfgs_from_exp():
     assert (tc.num_steps, tc.upsample_steps) == (16, 16)  # symmetric default
     assert tc.early_stop and tc.stage1_steps == 8
     assert tc.packed_max_entries == 0  # base fields inherited
+    assert pc is None
 
-    rc, tc = render_cfgs_from_exp({"renderer": {
+    rc, tc, pc = render_cfgs_from_exp({"renderer": {
         "num_steps": 64, "test_early_stop": True}})
     assert tc.num_steps == 64 and tc.upsample_steps == 256
 
     # quoted YAML numbers coerce by dataclass field type
-    rc, tc = render_cfgs_from_exp({"renderer": {
+    rc, tc, pc = render_cfgs_from_exp({"renderer": {
         "num_steps": "48", "refine_fraction": "0.5",
         "test_stage1_steps": "4", "test_early_stop": True}})
     assert rc.num_steps == 48 and isinstance(rc.num_steps, int)
     assert rc.refine_fraction == 0.5 and tc.stage1_steps == 4
+
+    # predict_ keys layer on top of the resolved TEST config
+    rc, tc, pc = render_cfgs_from_exp({"renderer": {
+        "num_steps": 32, "upsample_steps": 32,
+        "test_early_stop": True, "test_stage1_steps": 16,
+        "predict_num_steps": 16, "predict_stage1_steps": "8",
+        "predict_refine_fraction": 0.125}})
+    assert tc.early_stop and tc.stage1_steps == 16
+    assert (tc.num_steps, tc.upsample_steps) == (32, 32)
+    assert pc.early_stop  # inherited from test_
+    assert (pc.num_steps, pc.upsample_steps) == (16, 16)  # symmetric default
+    assert pc.stage1_steps == 8 and pc.refine_fraction == 0.125
+
+    # predict_ without any test_ keys layers on the base config
+    rc, tc, pc = render_cfgs_from_exp({"renderer": {
+        "num_steps": 64, "predict_num_steps": 16}})
+    assert tc is None
+    assert (pc.num_steps, pc.upsample_steps) == (16, 16)
 
     # a typo'd prefix whose tail matches a real field still warns
     import warnings as _w

@@ -33,13 +33,18 @@ PREDICT_SUBFOLDERS = ("nerf_image", "nerf_label", "nerf_label_vis",
 
 
 def render_cfgs_from_exp(exp):
-    """(train RenderConfig, test RenderConfig | None) from the optional
-    `renderer:` block of an experiment YAML — an extension over the
-    reference's config surface; defaults match the reference's 256+256
-    budget. Any RenderConfig field passes through verbatim; `test_`-
-    prefixed keys configure the full-frame test/predict renders separately
-    (e.g. test_num_steps, test_early_stop). As before, test_num_steps
-    without test_upsample_steps implies a symmetric test budget."""
+    """(train RenderConfig, test RenderConfig | None, predict RenderConfig
+    | None) from the optional `renderer:` block of an experiment YAML — an
+    extension over the reference's config surface; defaults match the
+    reference's 256+256 budget. Any RenderConfig field passes through
+    verbatim; `test_`-prefixed keys configure the full-frame test/predict
+    renders separately (e.g. test_num_steps, test_early_stop), and
+    `predict_`-prefixed keys configure the predict PNG-dump phase on top
+    of the resolved test config (e.g. the measured fast knob
+    predict_stage1_steps: 8 / predict_num_steps: 16 — PERFORMANCE.md
+    round-3 render table). As before, test_num_steps without
+    test_upsample_steps implies a symmetric test budget (same for
+    predict_)."""
     from dataclasses import fields
     r = dict(exp.get("renderer", {}))
     types = {f.name: f.type for f in fields(RenderConfig)}
@@ -54,26 +59,37 @@ def render_cfgs_from_exp(exp):
         t = {"int": int, "float": float, int: int, float: float}.get(types[k])
         return t(v) if t is not None and not isinstance(v, bool) else v
 
+    def prefixed(prefix):
+        return {k[len(prefix):]: coerce(k[len(prefix):], v)
+                for k, v in r.items()
+                if k.startswith(prefix) and k[len(prefix):] in known}
+
     unknown = [k for k in r
                if k not in known
-               and not (k.startswith("test_") and k[len("test_"):] in known)]
+               and not any(k.startswith(p) and k[len(p):] in known
+                           for p in ("test_", "predict_"))]
     if unknown:
         import warnings
         warnings.warn(f"renderer config keys not recognized: {unknown} "
                       f"(known: sorted RenderConfig fields, optionally "
-                      f"test_-prefixed)")
+                      f"test_- or predict_-prefixed)")
     base = {k: coerce(k, v) for k, v in r.items() if k in known}
     base.setdefault("num_steps", 256)
     base.setdefault("upsample_steps", 256)
-    test = {k[len("test_"):]: coerce(k[len("test_"):], v)
-            for k, v in r.items()
-            if k.startswith("test_") and k[len("test_"):] in known}
+    test = prefixed("test_")
     test_cfg = None
     if test:
         test.setdefault("upsample_steps",
                         test.get("num_steps", base["upsample_steps"]))
         test_cfg = RenderConfig(**{**base, **test})
-    return RenderConfig(**base), test_cfg
+    predict = prefixed("predict_")
+    predict_cfg = None
+    if predict:
+        predict.setdefault("upsample_steps",
+                           predict.get("num_steps",
+                                       (test or base)["upsample_steps"]))
+        predict_cfg = RenderConfig(**{**base, **test, **predict})
+    return RenderConfig(**base), test_cfg, predict_cfg
 
 
 def _nerf_batch(item_batch):
@@ -252,7 +268,7 @@ def run_predict(trainer, nerf_state, seg_state, dataset, root_folder,
         poses = jnp.asarray(np.stack([it["pose"] for it in items]))
         outs = trainer.render_frames(nerf_state[0], poses,
                                      jnp.asarray(items[0]["intrinsics"]),
-                                     occ_grid, group=group)
+                                     occ_grid, group=group, which="predict")
         # seg input: the gt image, or the render itself for novel views
         # (ref :717-720)
         seg_in = jnp.asarray(np.stack([
@@ -286,12 +302,15 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     val_scene_list = val_scene_list or exp.get("val_scenes")
     output_size = tuple(exp.get("output_size", (240, 320)))
     num_classes = exp["model"]["num_classes"]
-    test_render_cfg = None
+    test_render_cfg = predict_render_cfg = None
     if render_cfg is None and "renderer" in exp:
-        render_cfg, test_render_cfg = render_cfgs_from_exp(exp)
+        render_cfg, test_render_cfg, predict_render_cfg = \
+            render_cfgs_from_exp(exp)
     trainer_kwargs = dict(trainer_kwargs or {})
     if test_render_cfg is not None:
         trainer_kwargs.setdefault("test_render_cfg", test_render_cfg)
+    if predict_render_cfg is not None:
+        trainer_kwargs.setdefault("predict_render_cfg", predict_render_cfg)
     if "nerf" in exp and "nerf_model" not in trainer_kwargs:
         from ..models import SemanticNeRF
         n = exp["nerf"]

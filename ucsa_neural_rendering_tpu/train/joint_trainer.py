@@ -46,6 +46,7 @@ class JointTrainer:
                  render_cfg: RenderConfig | None = None, n_rays=4096,
                  nerf_model: SemanticNeRF | None = None,
                  seg_model=None, test_render_cfg: RenderConfig | None = None,
+                 predict_render_cfg: RenderConfig | None = None,
                  mesh=None):
         """mesh: optional 1-D jax Mesh with a `data` axis. Both models'
         params stay replicated; the NeRF ray batches, the full-frame render
@@ -88,6 +89,15 @@ class JointTrainer:
         else:
             self.test_cfg = self.cfg
 
+        # predict-phase renders (PNG pseudo-label/replay dumps — hundreds of
+        # frames per stage) may use a cheaper budget than the logged test
+        # metrics; default shares test_cfg (identical behavior). The measured
+        # fast knob (PERFORMANCE.md round-3 render table: es8→16+16 k/8,
+        # 551 ms vs the 1188 ms default at comparable PSNR and identical
+        # labels on the fitted room) is available via `renderer:
+        # predict_*` YAML keys without touching test metrics.
+        self.predict_cfg = predict_render_cfg or self.test_cfg
+
         # bound=4 and the hash/MLP geometry follow the reference's joint net
         # (ref :29-35); overridable for tests / other scene scales.
         self.nerf_model = nerf_model or SemanticNeRF(
@@ -114,7 +124,15 @@ class JointTrainer:
                                           donate_argnums=(0,))
         self._nerf_update_batch = jax.jit(self._nerf_update_batch_impl,
                                           donate_argnums=(0,))
-        self._render_frames_jit = jax.jit(self._render_frames_impl)
+        from functools import partial
+        self._render_frames_jit = jax.jit(
+            partial(self._render_frames_impl, cfg=self.test_cfg))
+        # predict shares the test program (and its compiles) unless a
+        # distinct predict config was given
+        self._render_frames_predict_jit = (
+            self._render_frames_jit if self.predict_cfg == self.test_cfg
+            else jax.jit(partial(self._render_frames_impl,
+                                 cfg=self.predict_cfg)))
         self._seg_update = jax.jit(self._seg_update_impl,
                                    donate_argnums=(0,))
         self._augment_rendered = jax.jit(self._augment_rendered_impl)
@@ -251,23 +269,28 @@ class JointTrainer:
             lambda x: jnp.mean(x, axis=0), parts)
 
     # ------------------------------------------------------------- rendering
-    def packed_for(self, nerf_params):
+    def packed_for(self, nerf_params, cfg: RenderConfig | None = None):
         """Cell-packed render table for these params (cached per
         (table array identity, budget, dtype) — one repack per NeRF update,
         amortized over the batch's full-frame renders; see
         models/packed_table.py PackedTableCache)."""
-        return self._packed_cache(nerf_params, self.test_cfg)
+        return self._packed_cache(nerf_params, cfg or self.test_cfg)
 
-    def _render_frame(self, nerf_params, pose, intrinsics, occ_grid=None):
+    def _render_frame(self, nerf_params, pose, intrinsics, occ_grid=None,
+                      which="predict"):
         """forward_nerf_test for one frame (ref :225-257) — the g=1 slice of
-        the batched frame render (one shared jit program)."""
-        out = self._render_frames_jit(nerf_params, jnp.asarray(pose)[None],
-                                      intrinsics, occ_grid,
-                                      self.packed_for(nerf_params))
+        the batched frame render (one shared jit program). Used by
+        predict_frame, hence the predict default."""
+        fn = (self._render_frames_predict_jit if which == "predict"
+              else self._render_frames_jit)
+        cfg = self.predict_cfg if which == "predict" else self.test_cfg
+        out = fn(nerf_params, jnp.asarray(pose)[None],
+                 intrinsics, occ_grid,
+                 self.packed_for(nerf_params, cfg))
         return {k: v[0] for k, v in out.items()}
 
     def _render_frames_impl(self, nerf_params, poses, intrinsics,
-                            occ_grid=None, packed=None):
+                            occ_grid=None, packed=None, *, cfg=None):
         """G frames in ONE dispatch: per-pose rays concatenate into a single
         staged render (lax.map already bounds memory per 4096-ray chunk, so
         G frames only add chunks). The per-frame dispatch roundtrip is
@@ -282,8 +305,8 @@ class JointTrainer:
         ro, rd, dn = jax.vmap(rays_of)(poses)
         out = render_rays_staged(self.nerf_model, {"params": nerf_params},
                                  ro.reshape(-1, 3), rd.reshape(-1, 3),
-                                 dn.reshape(-1), self.test_cfg, occ_grid,
-                                 mesh=self.mesh, packed=packed)
+                                 dn.reshape(-1), cfg or self.test_cfg,
+                                 occ_grid, mesh=self.mesh, packed=packed)
         # `invalid` (zero semantic mass) is deliberately discarded: the
         # reference renormalizes those rays to uniform and lets predict dump
         # their argmax (class 0) as a confident label (ref forward_nerf_test
@@ -298,16 +321,22 @@ class JointTrainer:
         }
 
     def render_frames(self, nerf_params, poses, intrinsics, occ_grid=None,
-                      group=4):
+                      group=4, which="test"):
         """Render B frames in batched dispatches of up to `group` frames.
 
         One compile per distinct slice size (the joint batch is constant per
-        stage and predict tails produce at most one extra size)."""
+        stage and predict tails produce at most one extra size).
+        `which`: "test" (logged metrics + in-training pseudo-label renders)
+        or "predict" (PNG dump phase; may run a cheaper configured budget).
+        """
         poses = jnp.asarray(poses)
-        packed = self.packed_for(nerf_params)
+        fn = (self._render_frames_predict_jit if which == "predict"
+              else self._render_frames_jit)
+        cfg = self.predict_cfg if which == "predict" else self.test_cfg
+        packed = self.packed_for(nerf_params, cfg)
         outs = []
         for s in range(0, poses.shape[0], group):
-            outs.append(self._render_frames_jit(
+            outs.append(fn(
                 nerf_params, poses[s:s + group], intrinsics, occ_grid,
                 packed))
         return {k: jnp.concatenate([o[k] for o in outs], 0) for k in outs[0]}
