@@ -204,7 +204,8 @@ def test_nerf(trainer, nerf_state, dataset, num_classes, logger, prefix,
               occ_grid=None, group=4):
     """NeRF pseudo-label quality on train frames (ref test_step :648-660),
     `group` frames per dispatch like run_predict (the per-frame host
-    roundtrip is ~35 ms; the render compiles are shared with predict)."""
+    roundtrip is ~35 ms; the render compiles are shared with predict
+    unless a distinct predict_* budget is configured)."""
     meter = SemanticsMeter(num_classes)
     n = len(dataset)
     for s in range(0, n, group):
