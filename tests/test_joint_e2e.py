@@ -208,13 +208,37 @@ def test_predict_render_cfg_plumbing(fixture_env):
     from dataclasses import replace
 
     exp = make_exp()
-    # default: predict aliases the test program
+    # occupancy-mode default: predict runs the derived fast budget
+    # (quarter-budget stage 1, half-budget refine, k/8) — the measured
+    # knob from PERFORMANCE.md round 3
     tr = joint_loop.JointTrainer(exp, image_hw=(H, W),
                                  num_classes=NUM_CLASSES,
                                  render_cfg=RENDER_CFG,
                                  **small_trainer_kwargs())
-    assert tr.predict_cfg == tr.test_cfg
-    assert tr._render_frames_predict_jit is tr._render_frames_jit
+    assert tr.predict_cfg.early_stop
+    assert tr.predict_cfg.stage1_steps == RENDER_CFG.num_steps // 4
+    assert tr.predict_cfg.num_steps == RENDER_CFG.num_steps // 2
+    assert tr.predict_cfg.refine_fraction == 0.125
+    assert tr._render_frames_predict_jit is not tr._render_frames_jit
+
+    # dense reference-parity mode: predict == test == train (one program)
+    exp_dense = make_exp()
+    exp_dense["nerf"] = {"use_occupancy": False}
+    trd = joint_loop.JointTrainer(exp_dense, image_hw=(H, W),
+                                  num_classes=NUM_CLASSES,
+                                  render_cfg=RENDER_CFG,
+                                  **small_trainer_kwargs())
+    assert trd.predict_cfg == trd.test_cfg == RENDER_CFG
+    assert trd._render_frames_predict_jit is trd._render_frames_jit
+
+    # an explicit test config is authoritative for predict too
+    tre = joint_loop.JointTrainer(exp, image_hw=(H, W),
+                                  num_classes=NUM_CLASSES,
+                                  render_cfg=RENDER_CFG,
+                                  test_render_cfg=RENDER_CFG,
+                                  **small_trainer_kwargs())
+    assert tre.predict_cfg == tre.test_cfg == RENDER_CFG
+    assert tre._render_frames_predict_jit is tre._render_frames_jit
 
     # distinct predict config: cheaper budget, separate program
     pc = replace(RENDER_CFG, num_steps=8, upsample_steps=8)

@@ -91,12 +91,27 @@ class JointTrainer:
 
         # predict-phase renders (PNG pseudo-label/replay dumps — hundreds of
         # frames per stage) may use a cheaper budget than the logged test
-        # metrics; default shares test_cfg (identical behavior). The measured
-        # fast knob (PERFORMANCE.md round-3 render table: es8→16+16 k/8,
-        # 551 ms vs the 1188 ms default at comparable PSNR and identical
-        # labels on the fitted room) is available via `renderer:
-        # predict_*` YAML keys without touching test metrics.
-        self.predict_cfg = predict_render_cfg or self.test_cfg
+        # metrics. Default under occupancy sampling (when neither a predict
+        # nor a test config was given explicitly): the measured fast knob —
+        # stage-1 at a quarter budget, half-budget refine on the top 1/8
+        # unsaturated rays (PERFORMANCE.md round-3 render table: es8→16+16
+        # k/8, 551 ms vs the 1188 ms test default at comparable PSNR —
+        # 29.27 vs 29.06 dB on the 300-step room, between 39.26 and 39.82 on
+        # the deep fit — and bit-identical semantic labels on both).
+        # Explicit `renderer: predict_*` keys override; dense reference-
+        # parity mode (use_occupancy=false) keeps predict == test == train.
+        if predict_render_cfg is not None:
+            self.predict_cfg = predict_render_cfg
+        elif test_render_cfg is None and self.use_occupancy:
+            from dataclasses import replace
+            self.predict_cfg = replace(
+                self.cfg, early_stop=True,
+                stage1_steps=max(1, self.cfg.num_steps // 4),
+                num_steps=max(1, self.cfg.num_steps // 2),
+                upsample_steps=max(1, self.cfg.upsample_steps // 2),
+                refine_fraction=0.125)
+        else:
+            self.predict_cfg = self.test_cfg
 
         # bound=4 and the hash/MLP geometry follow the reference's joint net
         # (ref :29-35); overridable for tests / other scene scales.
