@@ -22,7 +22,12 @@ def setup_experiment(exp: dict, env: dict, exp_cfg_path: str | None,
     Returns (model_path, logger). Mutates exp['general']['name'] to the run
     folder like the reference does."""
     model_path = os.path.join(env["results"], exp["general"]["name"])
-    if exp["general"].get("clean_up_folder_if_exists", False):
+    # a resuming run must keep the folder: it holds the `last_ckpt` resume
+    # anchor the run is about to restore (the reference pairs
+    # clean_up_folder_if_exists with resume_from_checkpoint the same way —
+    # resume wins, ref scripts/pretrain.py:97-101)
+    resuming = bool(exp.get("trainer", {}).get("resume_from_checkpoint"))
+    if exp["general"].get("clean_up_folder_if_exists", False) and not resuming:
         shutil.rmtree(model_path, ignore_errors=True)
     os.makedirs(model_path, exist_ok=True)
 

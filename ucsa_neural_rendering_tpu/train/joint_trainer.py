@@ -104,9 +104,15 @@ class JointTrainer:
             self.predict_cfg = predict_render_cfg
         elif test_render_cfg is None and self.use_occupancy:
             from dataclasses import replace
+            # derived FROM test_cfg so the two defaults scale consistently:
+            # stage-1 at half the test stage-1 (capped via the test cap at
+            # 8), refine the top 1/8, composite budget halved. At the
+            # measured 32+32 train budget this is exactly the benchmarked
+            # fast knob (es8→16+16 k/8); at larger budgets the stage-1 cost
+            # stays bounded instead of growing as num_steps//4.
             self.predict_cfg = replace(
-                self.cfg, early_stop=True,
-                stage1_steps=max(1, self.cfg.num_steps // 4),
+                self.test_cfg, early_stop=True,
+                stage1_steps=max(1, self.test_cfg.stage1_steps // 2),
                 num_steps=max(1, self.cfg.num_steps // 2),
                 upsample_steps=max(1, self.cfg.upsample_steps // 2),
                 refine_fraction=0.125)
@@ -155,6 +161,24 @@ class JointTrainer:
                                     donate_argnums=(1,))
         from ..models.packed_table import PackedTableCache
         self._packed_cache = PackedTableCache(self.nerf_model)
+
+    def budget_summary(self) -> str:
+        """One-line description of the active render budgets — logged at
+        stage start so a quality regression on a new scene is traceable to
+        the derived test/predict defaults (they may differ from the train
+        budget under occupancy sampling)."""
+
+        def one(cfg):
+            s = f"{cfg.num_steps}+{cfg.upsample_steps}"
+            if cfg.early_stop:
+                s = (f"es{cfg.stage1_steps}->{s} "
+                     f"k{cfg.refine_fraction:g}")
+            return s
+
+        return (f"train={one(self.cfg)} test={one(self.test_cfg)} "
+                f"predict={one(self.predict_cfg)} "
+                f"occupancy={self.use_occupancy} "
+                f"packed_dtype={self.test_cfg.packed_dtype}")
 
     # ------------------------------------------------------------------- init
     def init_nerf(self, key):
@@ -291,11 +315,12 @@ class JointTrainer:
         models/packed_table.py PackedTableCache)."""
         return self._packed_cache(nerf_params, cfg or self.test_cfg)
 
-    def _render_frame(self, nerf_params, pose, intrinsics, occ_grid=None,
-                      which="predict"):
+    def _render_frame(self, nerf_params, pose, intrinsics, occ_grid, which):
         """forward_nerf_test for one frame (ref :225-257) — the g=1 slice of
-        the batched frame render (one shared jit program). Used by
-        predict_frame, hence the predict default."""
+        the batched frame render (one shared jit program). `which` is
+        required ("test" | "predict"): the public render_frames defaults to
+        the test budget, and a silent default here could hand a metrics
+        path the cheap predict budget."""
         fn = (self._render_frames_predict_jit if which == "predict"
               else self._render_frames_jit)
         cfg = self.predict_cfg if which == "predict" else self.test_cfg
@@ -483,7 +508,8 @@ class JointTrainer:
         """One predict item (ref predict_step :714-782): NeRF render + seg
         forward (on the render itself for novel viewpoints). Returns device
         dict; host IO belongs to the caller."""
-        out = self._render_frame(nerf_state[0], pose, intrinsics, occ_grid)
+        out = self._render_frame(nerf_state[0], pose, intrinsics, occ_grid,
+                                 which="predict")
         seg_input = (out["nerf_rgb"][None] if image is None
                      else jnp.asarray(image)[None])
         seg_pred, _, _ = self.seg_infer(seg_state, seg_input, update_bn=False)
