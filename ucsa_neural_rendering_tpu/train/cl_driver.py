@@ -26,14 +26,30 @@ def main(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     prev_stage = ""
     stage = "init"
     results = []
+    # protocol-level resume: a truthy `trainer.resume_from_checkpoint` on
+    # entry means "continue an interrupted multi-step run" — completed
+    # stages (final deeplab_ckpt on disk, written strictly after the
+    # predict dumps the next stage replays from) are skipped, the first
+    # unfinished stage resumes from its per-epoch last_ckpt, and every
+    # stage after that starts fresh (the reference driver hardcodes
+    # resume=False per stage, ref scripts/cl_deeplab.py:76, and loses the
+    # whole protocol on a crash)
+    exp.setdefault("trainer", {})
+    resume_protocol = bool(exp["trainer"].get("resume_from_checkpoint"))
     for i, new_scene in enumerate(scene_order):
         exp["scenes"].append(new_scene)
         prev_stage = stage
         stage = f"stage_{i}"
         exp["general"]["name"] = f"{base_general_name}/{stage}"
 
-        exp.setdefault("trainer", {})
-        exp["trainer"]["resume_from_checkpoint"] = False
+        if resume_protocol and os.path.isdir(os.path.join(
+                env["results"], base_general_name, stage, "deeplab_ckpt")):
+            print(f"[cl_driver] stage {i} ({new_scene}) already complete; "
+                  f"skipping", flush=True)
+            results.append(None)
+            continue
+        exp["trainer"]["resume_from_checkpoint"] = resume_protocol
+        resume_protocol = False
         exp["trainer"]["load_from_checkpoint"] = True
         if i == 0:
             exp["general"]["load_pretrain"] = True

@@ -16,7 +16,7 @@ import numpy as np
 from ..data import (DataLoader, ScanNet, ScanNetCL, ScanNetNGP, load_split)
 from ..metrics import SemanticsMeter
 from ..models import DeepLabV3, seg_compute_dtype
-from .checkpoints import load_deeplab, save_deeplab
+from .checkpoints import load_deeplab, load_tree, save_deeplab, save_tree
 from .seg_eval import build_test_25k, eval_25k
 from .experiment import seed_everything, setup_experiment
 from .pretrain_loop import run_epoch
@@ -112,19 +112,42 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
         batch_stats = jax.tree.map(jnp.asarray, batch_stats)
         state = (params, batch_stats, trainer.tx.init(params))
 
+    # per-epoch last checkpoint + resume (the reference's
+    # ModelCheckpoint(save_last=True) + resume_from_checkpoint,
+    # ref scripts/train_finetune.py:62-91); shuffle/augmentation/dropout
+    # streams are pure functions of (seed, epoch, i), so a resumed run
+    # replays the uninterrupted trajectory
+    last_dir = os.path.join(model_path, "last_ckpt")
+    save_last = bool(exp.get("trainer", {}).get("save_last", True))
+    start_epoch = 0
+    resume = exp.get("trainer", {}).get("resume_from_checkpoint")
+    if resume:
+        rdir = resume if isinstance(resume, str) else last_dir
+        if os.path.isdir(rdir):
+            target = {"params": state[0], "batch_stats": state[1],
+                      "opt_state": state[2], "epoch": np.zeros((), np.int64)}
+            tree = load_tree(rdir, target=target)
+            state = (tree["params"], tree["batch_stats"], tree["opt_state"])
+            start_epoch = int(tree["epoch"])
+            print(f"[finetune] resumed from {rdir} at epoch {start_epoch}",
+                  flush=True)
+
     # validate → test → fit → test (ref train_finetune.py:115-118); the
-    # 25k generalization test runs when the split file exists on disk
+    # 25k generalization test runs when the split file exists on disk.
+    # The pre-fit evals are skipped on resume (they only log)
     test_25k = build_test_25k(exp, env, output_size)
-    _eval_per_scene(trainer, state, val_ds, num_classes, logger, "val_pre")
-    if test_25k is not None:
-        _eval_25k(trainer, state, test_25k, num_classes, logger, "pre")
+    if start_epoch == 0:
+        _eval_per_scene(trainer, state, val_ds, num_classes, logger,
+                        "val_pre")
+        if test_25k is not None:
+            _eval_25k(trainer, state, test_25k, num_classes, logger, "pre")
 
     lr = float(exp["optimizer"]["lr"])
     meter = SemanticsMeter(num_classes)
     # the effective train batch grows by ngp_25k_ratio when CL is active
     eff_bs = bs * (1 + exp["cl"].get("ngp_25k_ratio", 0)) \
         if exp["cl"].get("active") else bs
-    for epoch in range(exp["trainer"]["max_epochs"]):
+    for epoch in range(start_epoch, exp["trainer"]["max_epochs"]):
         meter.clear()
         # epoch/seed thread through so each epoch reshuffles and draws fresh
         # dropout keys (the stream is a pure function of (seed, epoch, i))
@@ -134,6 +157,10 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
         miou, tacc, _ = meter.measure()
         logger.log({"train/mean_IoU": miou, "train/total_accuracy": tacc},
                    step=epoch)
+        if save_last:
+            save_tree(last_dir, {"params": state[0], "batch_stats": state[1],
+                                 "opt_state": state[2],
+                                 "epoch": np.int64(epoch + 1)})
 
     _eval_per_scene(trainer, state, val_ds, num_classes, logger, "val")
     if test_25k is not None:

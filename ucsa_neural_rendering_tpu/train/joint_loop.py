@@ -23,7 +23,7 @@ from ..ops.renderer import RenderConfig
 from ..utils.profiling import StepTimer, maybe_trace
 from ..viz import Visualizer
 from ..viz.colormaps import NYU40_COLOUR_CODE
-from .checkpoints import load_deeplab, save_deeplab, save_tree
+from .checkpoints import load_deeplab, load_tree, save_deeplab, save_tree
 from .experiment import seed_everything, setup_experiment
 from .joint_trainer import JointTrainer
 from .seg_eval import build_test_25k, eval_25k
@@ -90,6 +90,54 @@ def render_cfgs_from_exp(exp):
                                        (test or base)["upsample_steps"]))
         predict_cfg = RenderConfig(**{**base, **test, **predict})
     return RenderConfig(**base), test_cfg, predict_cfg
+
+
+def _stage_state_tree(done, nerf_state, seg_state, occ_grid, key, occ_step,
+                      occ_slab):
+    """Full mid-stage training state as one checkpoint tree: both models'
+    params AND optimizer states, the occupancy grid, the threaded PRNG key,
+    and the epoch counters. This is what the reference's Lightning
+    `ModelCheckpoint(save_last=True)` captures every epoch
+    (ref scripts/train_joint.py:90-94); everything the RNG touches is a pure
+    function of (seed, epoch, index) here, so restoring this tree and
+    re-pinning the loader epoch reproduces the uninterrupted trajectory."""
+    # counters as 0-d arrays: orbax's target-structure restore rejects bare
+    # numpy scalars as template leaves
+    tree = {"done": np.asarray(done, np.int64),
+            "occ_step": np.asarray(occ_step, np.int64),
+            "occ_slab": np.asarray(occ_slab, np.int64),
+            "key": np.asarray(jax.random.key_data(key)),
+            "nerf_params": nerf_state[0], "nerf_opt": nerf_state[1],
+            "seg_params": seg_state[0], "seg_stats": seg_state[1],
+            "seg_opt": seg_state[2]}
+    if occ_grid is not None:
+        tree["occ_grid"] = occ_grid
+    return tree
+
+
+def _save_stage_state(path, *args):
+    save_tree(path, _stage_state_tree(*args))
+
+
+def _restore_stage_state(path, nerf_state, seg_state, occ_grid, key):
+    """Load a `last_ckpt` written by `_save_stage_state`, using the current
+    (freshly initialized) states as the structure target so optax opt_states
+    come back as their NamedTuple trees. Returns
+    (done, nerf_state, seg_state, occ_grid, key, occ_step, occ_slab)."""
+    template = _stage_state_tree(0, nerf_state, seg_state, occ_grid, key,
+                                 0, 0)
+    tree = load_tree(path, target=template)
+    # orbax restores arrays COMMITTED to device 0; under a multi-device mesh
+    # the sharded steps then refuse them. Re-enter through host numpy so
+    # every leaf is uncommitted and free to take the step's sharding.
+    tree = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), tree)
+    nerf_state = (tree["nerf_params"], tree["nerf_opt"])
+    seg_state = (tree["seg_params"], tree["seg_stats"], tree["seg_opt"])
+    if occ_grid is not None:
+        occ_grid = tree["occ_grid"]
+    key = jax.random.wrap_key_data(jnp.asarray(tree["key"]))
+    return (int(tree["done"]), nerf_state, seg_state, occ_grid, key,
+            int(tree["occ_step"]), int(tree["occ_slab"]))
 
 
 def _nerf_batch(item_batch):
@@ -328,6 +376,11 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
         trainer_kwargs["mesh"] = get_mesh()
     trainer = JointTrainer(exp, image_hw=output_size, num_classes=num_classes,
                            render_cfg=render_cfg, **trainer_kwargs)
+    # log the active render budgets at stage start: the derived test/predict
+    # defaults under occupancy sampling differ from the train budget, and a
+    # quality regression on a new scene must be traceable to them
+    print(f"[joint] render budgets: {trainer.budget_summary()}", flush=True)
+    logger.log_hyperparams({"render_budgets": trainer.budget_summary()})
     key = jax.random.key(args.seed)
     key, k1, k2 = jax.random.split(key, 3)
     nerf_state = trainer.init_nerf(k1)
@@ -342,6 +395,39 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
         params = jax.tree.map(jnp.asarray, params)
         batch_stats = jax.tree.map(jnp.asarray, batch_stats)
         seg_state = (params, batch_stats, trainer.seg_tx.init(params))
+
+    # --- per-epoch last checkpoint + mid-stage resume (the reference's
+    # Lightning ModelCheckpoint(save_last=True) + trainer
+    # resume_from_checkpoint, ref scripts/train_joint.py:90-109). `done`
+    # counts completed epochs linearly across both phases; a truthy
+    # `trainer.resume_from_checkpoint` restores from `<run>/last_ckpt`
+    # (or an explicit checkpoint dir path) and skips the finished epochs —
+    # loader shuffles, dataset augmentation, and dropout streams are pure
+    # functions of (seed, epoch, index), so the trajectory continues
+    # exactly where the interrupted run stopped. ---
+    last_dir = os.path.join(model_path, "last_ckpt")
+    save_last = bool(exp.get("trainer", {}).get("save_last", True))
+    start_done = 0
+    resume = exp.get("trainer", {}).get("resume_from_checkpoint")
+    if resume:
+        rdir = resume if isinstance(resume, str) else last_dir
+        if os.path.isdir(rdir):
+            (start_done, nerf_state, seg_state, occ_grid, key, occ_step,
+             occ_slab) = _restore_stage_state(rdir, nerf_state, seg_state,
+                                              occ_grid, key)
+            trainer._occ_slab = occ_slab
+            print(f"[joint] resumed from {rdir}: "
+                  f"{start_done}/{args.nerf_train_epoch}"
+                  f"+{args.joint_train_epoch} epochs done", flush=True)
+        else:
+            print(f"[joint] resume requested but no checkpoint at {rdir}; "
+                  f"starting fresh", flush=True)
+
+    def save_last_ckpt(done):
+        if save_last:
+            _save_stage_state(last_dir, done, nerf_state, seg_state,
+                              occ_grid, key, occ_step,
+                              getattr(trainer, "_occ_slab", 0))
 
     dm = build_datamodule(exp, env, output_size, val_scene_list,
                           seed=args.seed)
@@ -363,6 +449,9 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     nerf_dl = DataLoader(dm["train_nerf"], batch_size=1, shuffle=True,
                          seed=args.seed)
     for epoch in range(args.nerf_train_epoch):
+        if epoch < start_done:
+            continue
+        nerf_dl.set_epoch(epoch)
         epoch_logs, n_batches = {}, 0
         for batch in nerf_dl:
             key, k = jax.random.split(key)
@@ -381,13 +470,16 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
             logger.log({f"train/{n}": float(v) / n_batches
                         for n, v in epoch_logs.items()}, step=epoch)
         timer.tick("nerf_epoch", epoch=epoch)
+        save_last_ckpt(epoch + 1)
 
-    # initial nerf quality + seg validation (ref :167-169)
-    test_nerf(trainer, nerf_state, dm["train_nerf"], num_classes, logger,
-              "test_pre", occ_grid)
-    validate_seg(trainer, seg_state, dm["val"],
-                 lambda: SemanticsMeter(num_classes), logger, "val_pre",
-                 visualizer, visu_n)
+    # initial nerf quality + seg validation (ref :167-169); skipped when a
+    # resume lands past them — they only log, never touch training state
+    if start_done <= args.nerf_train_epoch:
+        test_nerf(trainer, nerf_state, dm["train_nerf"], num_classes, logger,
+                  "test_pre", occ_grid)
+        validate_seg(trainer, seg_state, dm["val"],
+                     lambda: SemanticsMeter(num_classes), logger, "val_pre",
+                     visualizer, visu_n)
 
     # --- phase 2: joint training (ref :171-177) ---
     joint_dl = DataLoader(dm["train_joint"], batch_size=bs, shuffle=True,
@@ -396,6 +488,9 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     scene_root = os.path.join(env["scannet"], exp["scenes"][-1],
                               exp["exp_name"])
     for epoch in range(args.joint_train_epoch):
+        if args.nerf_train_epoch + epoch < start_done:
+            continue
+        joint_dl.set_epoch(epoch)
         epoch_logs, n_batches = {}, 0
         for batch_old, batch_new, batch_cl in joint_dl:
             key, k = jax.random.split(key)
@@ -415,6 +510,7 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
                         for n, v in epoch_logs.items()},
                        step=args.nerf_train_epoch + epoch)
         timer.tick("joint_epoch", epoch=epoch)
+        save_last_ckpt(args.nerf_train_epoch + epoch + 1)
         if (epoch + 1) % 10 == 0:
             validate_seg(trainer, seg_state, dm["val"],
                          lambda: SemanticsMeter(num_classes), logger,
