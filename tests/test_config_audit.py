@@ -1,0 +1,147 @@
+"""Config-key coverage: every key in every shipped experiment YAML is
+either consumed by its entry point or documented-ignored with a reason;
+unknown keys warn instead of being silently dropped (round-3 verdict #7).
+Plus the visualization/cadence keys that audit forced into existence:
+store_n.test visu in test_nerf and check_val_every_n_epoch in pretrain."""
+
+import glob
+import os
+import warnings
+
+import numpy as np
+import pytest
+import yaml
+
+from ucsa_neural_rendering_tpu.config.key_audit import (audit_exp_keys,
+                                                        flatten_keys,
+                                                        ignored_reason)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_ENTRY_BY_DIR = {
+    "one_step_joint": "joint",
+    "multi_step": "joint",
+    "one_step_finetune_nerf": "finetune",
+}
+
+
+def _shipped_cfgs():
+    out = []
+    for f in glob.glob(os.path.join(REPO, "cfg", "exp", "**", "*.yml"),
+                       recursive=True):
+        rel = os.path.relpath(f, os.path.join(REPO, "cfg", "exp"))
+        d = os.path.dirname(rel)
+        entry = _ENTRY_BY_DIR.get(d, "pretrain")
+        out.append((rel, f, entry))
+    return out
+
+
+@pytest.mark.parametrize("rel,path,entry",
+                         _shipped_cfgs(),
+                         ids=[r for r, _, _ in _shipped_cfgs()])
+def test_shipped_config_keys_all_recognized(rel, path, entry):
+    exp = yaml.safe_load(open(path))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any unknown-key warning fails
+        ignored, unknown = audit_exp_keys(exp, entry)
+    assert unknown == []
+    # every accepted-but-ignored key carries a documented reason
+    for k in ignored:
+        assert ignored_reason(k), k
+
+
+def test_unknown_key_warns():
+    exp = {"general": {"name": "x"}, "optimizzer": {"lr": 1e-3}}
+    with pytest.warns(UserWarning, match="optimizzer.lr"):
+        _, unknown = audit_exp_keys(exp, "joint")
+    assert unknown == ["optimizzer.lr"]
+
+
+def test_flatten_keys_handles_empty_and_nested():
+    assert sorted(flatten_keys({"a": {"b": 1, "c": {}}, "d": 2})) == \
+        ["a.b", "a.c", "d"]
+
+
+def test_test_nerf_store_n_test_visu(tmp_path):
+    """store_n.test drives gt/nerf_image/pred_nerf/target/detectron dumps
+    from the NeRF test pass (ref test_step visu :654-660)."""
+    import jax.numpy as jnp
+
+    from ucsa_neural_rendering_tpu.train.joint_loop import test_nerf
+    from ucsa_neural_rendering_tpu.viz import Visualizer
+
+    H, W, C = 8, 10, 40
+
+    class FakeTrainer:
+        def render_frames(self, params, poses, intr, occ, group=4,
+                          which="test"):
+            g = poses.shape[0]
+            return {"nerf_rgb": jnp.zeros((g, H, W, 3)),
+                    "nerf_semantics": jnp.zeros((g, H, W), jnp.int32),
+                    "nerf_depth": jnp.ones((g, H, W))}
+
+    class FakeDS:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return {"img": np.zeros((H, W, 3), np.float32),
+                    "label": np.zeros((H, W), np.int64),
+                    "pose": np.eye(4, dtype=np.float32),
+                    "intrinsics": np.array([1.0, 1.0, W / 2, H / 2],
+                                           np.float32)}
+
+    visu = Visualizer(str(tmp_path), store=True)
+    test_nerf(FakeTrainer(), (None,), FakeDS(), C, None, "test",
+              visualizer=visu, visu_n=2)
+    files = os.listdir(str(tmp_path / "test_vis")) \
+        if (tmp_path / "test_vis").exists() else os.listdir(str(tmp_path))
+    names = " ".join(files)
+    for stem in ("gt_image_0", "nerf_image_0", "pred_nerf_0", "target_0",
+                 "detectron_0", "gt_image_1"):
+        assert stem in names, (stem, files)
+    assert "gt_image_2" not in names  # capped at visu_n
+
+
+@pytest.mark.slow
+def test_pretrain_check_val_cadence(tmp_path):
+    """check_val_every_n_epoch=2 → val metrics logged only every 2nd epoch
+    (the reference's Trainer(**exp['trainer']) behavior)."""
+    import argparse
+    import json
+
+    from ucsa_neural_rendering_tpu.data import create_split, save_split
+    from ucsa_neural_rendering_tpu.data.synthetic import \
+        write_synthetic_25k_dir
+    from ucsa_neural_rendering_tpu.train import pretrain_loop
+    from test_joint_e2e import TinySeg
+
+    frames = str(tmp_path / "frames25k")
+    os.makedirs(frames)
+    write_synthetic_25k_dir(frames, n_scenes=1, n_frames_per_scene=4,
+                            H=24, W=32)
+    split = create_split(frames, val_ratio=0.25, seed=0)
+    save_split(split, os.path.join(frames, "split.npz"))
+    env = {"results": str(tmp_path / "exp"), "scannet": "",
+           "scannet_frames_25k": frames}
+    exp = {"general": {"name": "cv2e", "clean_up_folder_if_exists": True},
+           "model": {"num_classes": 40},
+           "lr_scheduler": {"active": False},
+           "optimizer": {"lr": 1e-3, "name": "Adam"},
+           "trainer": {"max_epochs": 2, "resume_from_checkpoint": False,
+                       "check_val_every_n_epoch": 2},
+           "data_module": {"batch_size": 3, "shuffle": True,
+                           "drop_last": False, "root": frames,
+                           "data_preprocessing": {"split_file":
+                                                  "split.npz"}},
+           "output_size": (24, 32)}
+    pretrain_loop.train(exp, env, argparse.Namespace(seed=0,
+                                                     project_name="t"),
+                        model=TinySeg())
+    val_steps = []
+    with open(os.path.join(env["results"], "cv2e", "metrics.jsonl")) as f:
+        for line in f:
+            d = json.loads(line)
+            if "val/mean_IoU" in d:
+                val_steps.append(d.get("step"))
+    assert val_steps == [1]  # only epoch index 1 (2nd epoch) ran val

@@ -59,6 +59,8 @@ def _eval_25k(trainer, state, dataset, num_classes, logger, tag):
 def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
           prev_exp_name="one_step_nerf_only", model=None):
     seed_everything(args.seed)
+    from ..config.key_audit import audit_exp_keys
+    audit_exp_keys(exp, "finetune")
     model_path, logger = setup_experiment(
         exp, env, exp_cfg_path, env_cfg_path,
         getattr(args, "project_name", "finetune"))
@@ -94,6 +96,10 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
         collate = ScanNetCL.collate
 
     bs = cfg_dm["batch_size"]
+    # shuffle/drop_last are hardcoded like the reference's finetune train
+    # loader (ref finetune_data_module.py:90-91); the data_module.shuffle /
+    # drop_last YAML keys are consumed by the PRETRAIN entry only
+    # (ref pretrain_data_module.py:39-40)
     train_dl = DataLoader(train_ds, batch_size=bs, shuffle=True,
                           drop_last=True, collate_fn=collate, seed=args.seed)
 

@@ -249,11 +249,14 @@ def validate_seg(trainer, seg_state, dataset, meter_factory, logger, prefix,
 
 
 def test_nerf(trainer, nerf_state, dataset, num_classes, logger, prefix,
-              occ_grid=None, group=4):
+              occ_grid=None, group=4, visualizer=None, visu_n=0):
     """NeRF pseudo-label quality on train frames (ref test_step :648-660),
     `group` frames per dispatch like run_predict (the per-frame host
     roundtrip is ~35 ms; the render compiles are shared with predict
-    unless a distinct predict_* budget is configured)."""
+    unless a distinct predict_* budget is configured). The first `visu_n`
+    frames plot gt image, nerf render, predicted nerf labels, target, and
+    the detectron overlay (ref test_step visu :654-660,
+    visualizer.store_n.test)."""
     meter = SemanticsMeter(num_classes)
     n = len(dataset)
     for s in range(0, n, group):
@@ -265,6 +268,24 @@ def test_nerf(trainer, nerf_state, dataset, num_classes, logger, prefix,
         labels = jnp.asarray(np.stack([np.asarray(it["label"])
                                        for it in items]))
         meter.update(outs["nerf_semantics"], labels)
+        if visualizer is not None:
+            for j, item in enumerate(items):
+                c = s + j
+                if c >= visu_n:
+                    break
+                visualizer.plot_image(item["img"],
+                                      tag=f"{prefix}_vis/gt_image_{c}")
+                visualizer.plot_image(np.asarray(outs["nerf_rgb"][j]),
+                                      tag=f"{prefix}_vis/nerf_image_{c}")
+                visualizer.plot_segmentation(
+                    np.asarray(outs["nerf_semantics"][j]) + 1,
+                    tag=f"{prefix}_vis/pred_nerf_{c}")
+                visualizer.plot_segmentation(
+                    np.asarray(item["label"]) + 1,
+                    tag=f"{prefix}_vis/target_{c}")
+                visualizer.plot_detectron(item["img"],
+                                          np.asarray(item["label"]) + 1,
+                                          tag=f"{prefix}_vis/detectron_{c}")
     miou, tacc, macc = meter.measure()
     if logger is not None:
         logger.log({f"{prefix}/nerf_mean_IoU": miou,
@@ -342,6 +363,8 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     seed_everything(args.seed)
     exp["exp_name"] = args.exp_name
     exp["fix_nerf"] = getattr(args, "fix_nerf", False)
+    from ..config.key_audit import audit_exp_keys
+    audit_exp_keys(exp, "joint")
     model_path, logger = setup_experiment(exp, env, exp_cfg_path, env_cfg_path,
                                           getattr(args, "project_name",
                                                   "joint"))
@@ -438,8 +461,19 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     # every plot also goes to the experiment logger, like the reference's
     # wandb image logging (ref visualizer.py:60-81)
     visualizer.set_logger(logger.log_image)
-    visu_n = viz_cfg.get("store_n", {}).get("val", 0) \
-        if viz_cfg.get("store", False) else 0
+    # store_n budgets per split (ref visualizer.store_n.{train,val,test} —
+    # the reference plots during its validation passes over the val AND
+    # train_val loaders and during test_step, ref visu :304-341,581,654)
+    store_n = viz_cfg.get("store_n", {}) if viz_cfg.get("store", False) \
+        else {}
+    visu_n = store_n.get("val", 0)
+    visu_train = store_n.get("train", 0)
+    visu_test = store_n.get("test", 0)
+    # validation cadence (ref Trainer(**exp["trainer"]) honors
+    # check_val_every_n_epoch — 1 in the shipped configs); the %10 predict
+    # dump keeps the reference's hardcoded manual cadence (ref :344-355)
+    check_val_every = max(1, int(exp.get("trainer", {}).get(
+        "check_val_every_n_epoch", 1)))
 
     profile = bool(exp.get("trainer", {}).get("profiler", False))
     timer = StepTimer(os.path.join(model_path, "profile_steps.jsonl")
@@ -476,7 +510,8 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     # resume lands past them — they only log, never touch training state
     if start_done <= args.nerf_train_epoch:
         test_nerf(trainer, nerf_state, dm["train_nerf"], num_classes, logger,
-                  "test_pre", occ_grid)
+                  "test_pre", occ_grid, visualizer=visualizer,
+                  visu_n=visu_test)
         validate_seg(trainer, seg_state, dm["val"],
                      lambda: SemanticsMeter(num_classes), logger, "val_pre",
                      visualizer, visu_n)
@@ -511,20 +546,21 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
                        step=args.nerf_train_epoch + epoch)
         timer.tick("joint_epoch", epoch=epoch)
         save_last_ckpt(args.nerf_train_epoch + epoch + 1)
-        if (epoch + 1) % 10 == 0:
+        if (epoch + 1) % check_val_every == 0:
             validate_seg(trainer, seg_state, dm["val"],
                          lambda: SemanticsMeter(num_classes), logger,
                          f"val_e{epoch + 1}", visualizer, visu_n)
             validate_seg(trainer, seg_state, dm["train_val"],
                          lambda: SemanticsMeter(num_classes), logger,
-                         f"train_val_e{epoch + 1}")
+                         f"train_val_e{epoch + 1}", visualizer, visu_train)
+        if (epoch + 1) % 10 == 0:
             # mid-training predict dump (ref :344-355,784-874)
             run_predict(trainer, nerf_state, seg_state, dm["predict"],
                         f"{scene_root}_epoch_{epoch + 1}", occ_grid)
 
     # --- final tests + predict + ckpt (ref :179-186) ---
     test_nerf(trainer, nerf_state, dm["train_nerf"], num_classes, logger,
-              "test", occ_grid)
+              "test", occ_grid, visualizer=visualizer, visu_n=visu_test)
     if dm["test_25k"] is not None:
         miou, tacc, macc = eval_25k(
             lambda im: trainer.seg_infer(seg_state, im)[0],

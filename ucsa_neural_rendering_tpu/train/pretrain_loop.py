@@ -77,6 +77,19 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
           model=None):
     """Full pretraining run. Returns final (state, best_miou)."""
     seed_everything(getattr(args, "seed", 123))
+    from ..config.key_audit import audit_exp_keys
+    audit_exp_keys(exp, "pretrain")
+    if exp.get("model", {}).get("pretrained_backbone") and not (
+            exp.get("trainer", {}).get("load_from_checkpoint")
+            and exp["general"].get("checkpoint_load")):
+        import warnings
+        warnings.warn(
+            "model.pretrained_backbone requested but torchvision ImageNet "
+            "weights cannot be downloaded here and no checkpoint_load is "
+            "set — the backbone will train FROM SCRATCH. Convert a torch "
+            "checkpoint (scripts/convert_checkpoint.py) and point "
+            "general.checkpoint_load at it to reproduce the reference's "
+            "initialization.")
     model_path, logger = setup_experiment(
         exp, env, exp_cfg_path, env_cfg_path,
         getattr(args, "project_name", "pretrain"))
@@ -88,7 +101,8 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
     mk = lambda key, mode: ScanNet(root=cfg_dm["root"], img_list=split[key],
                                    mode=mode, output_size=output_size)
     bs = cfg_dm["batch_size"]
-    train_dl = DataLoader(mk("train", "train"), batch_size=bs, shuffle=True,
+    train_dl = DataLoader(mk("train", "train"), batch_size=bs,
+                          shuffle=cfg_dm.get("shuffle", True),
                           drop_last=cfg_dm.get("drop_last", False),
                           seed=getattr(args, "seed", 123))
     val_dl = DataLoader(mk("val", "val"), batch_size=bs)
@@ -166,18 +180,25 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
         logger.log({"train/mean_IoU": miou, "train/total_accuracy": tacc,
                     "train/mean_accuracy": macc, "lr": lr}, step=epoch)
 
-        meters["val"].clear()
-        run_epoch(trainer, state, val_dl, bs, mesh, lr, meters["val"], None,
-                  "val", train=False)
-        miou, tacc, macc = meters["val"].measure()
-        logger.log({"val/mean_IoU": miou, "val/total_accuracy": tacc,
-                    "val/mean_accuracy": macc}, step=epoch)
+        # validation cadence honors trainer.check_val_every_n_epoch (the
+        # reference passes it into Trainer(**exp["trainer"]); 1 in the
+        # shipped config). best-ckpt can only move on a val epoch, like
+        # Lightning's val-monitored ModelCheckpoint
+        check_val_every = max(1, int(exp.get("trainer", {}).get(
+            "check_val_every_n_epoch", 1)))
+        if (epoch + 1) % check_val_every == 0:
+            meters["val"].clear()
+            run_epoch(trainer, state, val_dl, bs, mesh, lr, meters["val"],
+                      None, "val", train=False)
+            miou, tacc, macc = meters["val"].measure()
+            logger.log({"val/mean_IoU": miou, "val/total_accuracy": tacc,
+                        "val/mean_accuracy": macc}, step=epoch)
 
-        # checkpointing: best on val mean_IoU + last (ref pretrain.py:70-78)
-        if miou > best_miou:
-            best_miou = miou
-            save_deeplab(os.path.join(model_path, "best_ckpt"), state[0],
-                         state[1])
+            # best on val mean_IoU + last (ref pretrain.py:70-78)
+            if miou > best_miou:
+                best_miou = miou
+                save_deeplab(os.path.join(model_path, "best_ckpt"), state[0],
+                             state[1])
         save_tree(resume_dir, {"params": state[0], "batch_stats": state[1],
                                "opt_state": state[2],
                                "epoch": np.int64(epoch + 1),
