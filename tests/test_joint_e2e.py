@@ -273,3 +273,117 @@ def test_predict_render_cfg_plumbing(fixture_env):
     out_t3 = tr3.render_frames(params3, pose[None], intr, which="test")
     np.testing.assert_array_equal(np.asarray(out_t["nerf_rgb"]),
                                   np.asarray(out_t3["nerf_rgb"]))
+
+
+def test_fused_image_step_matches_single_image_and_runs_batched(fixture_env):
+    """nerf.fused_image_step=true takes ONE Adam step over all B images'
+    rays. For B=1 it must match the per-image step given the same
+    ray/render keys; for B>1 it must produce finite losses and update
+    every param leaf (the numerics divergence from sequential stepping is
+    deliberate and documented on _nerf_update_fused_impl).
+
+    The equivalence half uses EXACT trilinear table grads: the stochastic
+    corner estimator draws corners by comparing uniforms against computed
+    weights, and the fused program's different XLA layout can flip draws at
+    tie boundaries (observed only under the 8-virtual-device test mesh) —
+    chaotic by construction, not a fused-step defect."""
+    import jax
+
+    exp = make_exp()
+    exp["nerf"] = {"fused_image_step": True}
+    kwargs = small_trainer_kwargs()
+    kwargs["nerf_model"] = SemanticNeRF(
+        bound=1.0, num_semantic_classes=NUM_CLASSES, n_levels=4,
+        log2_hashmap_size=12, stochastic_table_grad=False)
+    trainer = joint_loop.JointTrainer(exp, image_hw=(H, W),
+                                      num_classes=NUM_CLASSES,
+                                      render_cfg=RENDER_CFG, **kwargs)
+    assert trainer.fused_image_step
+
+    rng = np.random.default_rng(3)
+    b = 2
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, H, W, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(-1, NUM_CLASSES, (b, H, W)).astype(
+        np.int32))
+    depths = jnp.asarray(np.full((b, H, W), 0.8, np.float32))
+    poses = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)))
+    intrs = jnp.asarray(np.tile(np.array([20.0, 20.0, W / 2, H / 2],
+                                         np.float32), (b, 1)))
+    uoms = jnp.ones(b, jnp.float32)
+
+    # B=1 equivalence: fused(key) draws k_render then one sample key from
+    # the remainder — replicate that split for the per-image call
+    key = jax.random.key(7)
+    k_rest, k_render = jax.random.split(key)
+    k_sample = jax.random.split(k_rest, 1)[0]
+    state = trainer.init_nerf(jax.random.key(0))
+    state_f, parts_f = trainer._nerf_update_fused(
+        state, imgs[:1], labels[:1], depths[:1], poses[:1], intrs[:1],
+        uoms[:1], key, None)
+
+    state2 = trainer.init_nerf(jax.random.key(0))
+    # the per-image impl splits its key into (k_rays, k_render); fold the
+    # fused mode's two keys into one matching pair via the impl directly
+    from ucsa_neural_rendering_tpu.data.rays import get_rays_sampled
+    from ucsa_neural_rendering_tpu.train.nerf_trainer import nerf_losses
+    from ucsa_neural_rendering_tpu.ops.renderer import render_rays
+    import optax
+
+    def one_image_step(nerf_state):
+        params, opt_state = nerf_state
+        rays_o, rays_d, dnorms, inds = get_rays_sampled(
+            poses[0], intrs[0], H, W, k_sample, trainer.n_rays)
+        gt_rgb = imgs[0].reshape(-1, 3)[inds]
+        lab = labels[0].reshape(-1)[inds]
+        gt_depth = depths[0].reshape(-1)[inds]
+
+        def loss_fn(p):
+            out = render_rays(trainer.nerf_model, {"params": p}, rays_o,
+                              rays_d, dnorms, k_render, trainer.cfg, None)
+            return nerf_losses(out, gt_rgb, lab, gt_depth,
+                               jnp.full((trainer.n_rays,), uoms[0]),
+                               NUM_CLASSES)
+
+        (_, parts), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = trainer.nerf_tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), parts
+
+    state_r, parts_r = jax.jit(one_image_step)(state2)
+    # bit-exact on a single-device CPU backend; under the 8-virtual-device
+    # test mesh XLA compiles the vmapped program differently and tiny
+    # reassociation diffs (~1e-6) survive Adam. Tolerance is 0.1% of the
+    # 1e-2 Adam step magnitude — far below any real divergence.
+    jax.tree.map(lambda a, c: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(c), rtol=1e-3, atol=1e-5), state_f[0],
+        state_r[0])
+
+    # B=2 smoke: finite parts, every leaf moved (the step donates its input
+    # state — snapshot to host first)
+    state3 = trainer.init_nerf(jax.random.key(0))
+    before = jax.tree.map(np.asarray, state3[0])
+    state4, parts = trainer._nerf_update_fused(
+        state3, imgs, labels, depths, poses, intrs, uoms,
+        jax.random.key(9), None)
+    for v in parts.values():
+        assert np.isfinite(float(v))
+    moved = jax.tree.map(
+        lambda a, c: bool(np.any(np.asarray(a) != np.asarray(c))),
+        before, state4[0])
+    assert all(jax.tree.leaves(moved))
+
+    # nerf_fit_step routes through the fused path when the flag is set
+    called = {}
+    orig = trainer._nerf_update_fused
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        return orig(*a, **kw)
+
+    trainer._nerf_update_fused = spy
+    batch = {"img": imgs, "depth": depths, "pose": poses,
+             "intrinsics": intrs, "one_m_to_scene_uom": uoms}
+    trainer.seg_infer = lambda seg_state, im, update_bn=False: (
+        labels, None, seg_state)
+    trainer.nerf_fit_step(state4, ("p", "b", "o"), batch, jax.random.key(1))
+    assert called.get("yes")

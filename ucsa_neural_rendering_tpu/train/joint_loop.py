@@ -390,6 +390,7 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
             bound=float(n.get("bound", 4.0)),
             num_semantic_classes=num_classes,
             n_levels=int(n.get("n_levels", 16)),
+            n_features=int(n.get("n_features", 2)),
             log2_hashmap_size=int(n.get("log2_hashmap_size", 19)),
             stochastic_table_grad=bool(n.get("stochastic_table_grad", True)))
         if "n_rays" in n:
