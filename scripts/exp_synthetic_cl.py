@@ -56,6 +56,15 @@ def parse_args():
     p.add_argument("--replay", choices=["on", "off"], default="on",
                    help="CL replay arm: rendered replay + 25k fraction (the "
                         "reference protocol) vs naive finetuning")
+    p.add_argument("--render-arm", choices=["accel", "dense", "ladder"],
+                   default="accel",
+                   help="render/train configuration arm for the quality "
+                        "gate (round-4 verdict #1): 'accel' = occupancy "
+                        "32+32 (the shipped default), 'dense' = the "
+                        "reference's 256+256 stratified+importance with "
+                        "occupancy off, 'ladder' = accel + fully "
+                        "stochastic-forward encoding (the 26k rays/s "
+                        "train knob, PERFORMANCE.md accel ladder)")
     p.add_argument("--pretrain-epochs", type=int, default=30)
     p.add_argument("--pretrain-lr", type=float, default=1e-3,
                    help="the reference pretrains at 1e-4 for 150 epochs on "
@@ -81,7 +90,10 @@ def scene_names(n):
 
 
 def arm_name(a):
-    return f"cl_replay_{a.replay}"
+    base = f"cl_replay_{a.replay}"
+    if a.render_arm != "accel":
+        base += f"_{a.render_arm}"
+    return base
 
 
 def env_dict(a):
@@ -94,16 +106,21 @@ def models_for(a, num_classes=40):
     """(seg_model, trainer_kwargs-for-joint). Full-size by default; --tiny
     swaps the structurally-identical small layouts used by the test suite."""
     from ucsa_neural_rendering_tpu.models import DeepLabV3, SemanticNeRF
+    # the ladder arm trains with the fully stochastic-forward encoding
+    # (PERFORMANCE.md accel ladder: 26.3k rays/s vs 13.9k exact)
+    sfwd = getattr(a, "render_arm", "accel") == "ladder"
     if a.tiny:
         from ucsa_neural_rendering_tpu.models import TINY_LAYOUT
         seg = DeepLabV3(num_classes=num_classes, backbone_layout=TINY_LAYOUT,
                         aspp_channels=32, head_channels=32)
         nerf = SemanticNeRF(bound=1.0, num_semantic_classes=num_classes,
-                            n_levels=8, log2_hashmap_size=15)
+                            n_levels=8, log2_hashmap_size=15,
+                            stochastic_fwd=sfwd)
         n_rays = 1024
     else:
         seg = DeepLabV3(num_classes=num_classes)
-        nerf = SemanticNeRF(bound=4.0, num_semantic_classes=num_classes)
+        nerf = SemanticNeRF(bound=4.0, num_semantic_classes=num_classes,
+                            stochastic_fwd=sfwd)
         n_rays = 4096
     return seg, {"seg_model": seg, "nerf_model": nerf, "n_rays": n_rays}
 
@@ -111,6 +128,13 @@ def models_for(a, num_classes=40):
 def render_cfg_for(a):
     from ucsa_neural_rendering_tpu.ops.renderer import RenderConfig
     h, w = a.hw
+    if getattr(a, "render_arm", "accel") == "dense":
+        # the reference's dense stratified+importance budget (occupancy off
+        # via exp["nerf"]["use_occupancy"] in joint_exp)
+        if a.tiny:
+            return RenderConfig(num_steps=64, upsample_steps=64,
+                                max_ray_batch=h * w)
+        return RenderConfig(num_steps=256, upsample_steps=256)
     if a.tiny:
         return RenderConfig(num_steps=24, upsample_steps=24,
                             max_ray_batch=h * w)
@@ -210,6 +234,8 @@ def joint_exp(a, stage_i):
                "replay_buffer_size": 100 if replay else 0},
         "output_size": list(a.hw),
         "exp_name": arm,
+        # dense arm = reference-parity sampling (occupancy placement off)
+        "nerf": {"use_occupancy": a.render_arm != "dense"},
     }
     if stage_i == 0:
         exp["general"]["checkpoint_load"] = os.path.join(
