@@ -120,3 +120,47 @@ def test_joint_step_mesh_sharded_matches_single():
     a = jax.tree.leaves(results["mesh"][0][0])[0]
     bb = jax.tree.leaves(results["single"][0][0])[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fused_image_step_mesh_matches_single():
+    """Image-parallel NeRF fitting (ARCHITECTURE.md comm model): the fused
+    multi-image step with B = mesh size shards the concatenated ray axis so
+    each device takes whole images; numerics match the single-device fused
+    step (exact-grad model — the stochastic corner estimator is chaotic
+    under layout changes, see test_joint_e2e's fused test)."""
+    from ucsa_neural_rendering_tpu.train.joint_trainer import JointTrainer
+
+    mesh = get_mesh()
+    H = W = 16
+    b = mesh.devices.size
+    model = SemanticNeRF(bound=1.0, num_semantic_classes=6, n_levels=4,
+                         log2_hashmap_size=10, stochastic_table_grad=False)
+    cfg = RenderConfig(num_steps=8, upsample_steps=8, max_ray_batch=H * W)
+    exp = {"optimizer": {"lr_nerf": 1e-2, "lr_seg": 1e-4, "name": "Adam"},
+           "nerf": {"use_occupancy": False, "fused_image_step": True}}
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, H, W, 3)).astype(np.float32))
+    labs = jnp.asarray(rng.integers(-1, 6, (b, H, W)).astype(np.int32))
+    deps = jnp.asarray(np.full((b, H, W), 0.8, np.float32))
+    poses = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)))
+    intrs = jnp.asarray(np.tile(np.array([12.0, 12.0, W / 2, H / 2],
+                                         np.float32), (b, 1)))
+    uoms = jnp.ones(b, jnp.float32)
+
+    outs = {}
+    for name, m in (("mesh", mesh), ("single", None)):
+        jt = JointTrainer(exp, image_hw=(H, W), num_classes=6,
+                          render_cfg=cfg, n_rays=64, nerf_model=model,
+                          seg_model=object(), mesh=m)
+        state = jt.init_nerf(jax.random.key(0))
+        state, parts = jt._nerf_update_fused(
+            state, imgs, labs, deps, poses, intrs, uoms, jax.random.key(5),
+            None)
+        outs[name] = (jax.tree.map(np.asarray, state[0]),
+                      float(parts["loss_nerf_total"]))
+
+    assert abs(outs["mesh"][1] - outs["single"][1]) < 1e-4
+    jax.tree.map(lambda a, c: np.testing.assert_allclose(a, c, atol=1e-5),
+                 outs["mesh"][0], outs["single"][0])
