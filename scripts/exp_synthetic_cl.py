@@ -56,6 +56,11 @@ def parse_args():
     p.add_argument("--replay", choices=["on", "off"], default="on",
                    help="CL replay arm: rendered replay + 25k fraction (the "
                         "reference protocol) vs naive finetuning")
+    p.add_argument("--enc", default="16x2",
+                   help="hash-encoding geometry LxF at constant L*F=32 "
+                        "output (full-size arms only): 16x2 (reference), "
+                        "8x4, 4x8 — the row-count lever measured by "
+                        "scripts/bench_encoding_variants.py")
     p.add_argument("--render-arm", choices=["accel", "dense", "ladder"],
                    default="accel",
                    help="render/train configuration arm for the quality "
@@ -93,6 +98,8 @@ def arm_name(a):
     base = f"cl_replay_{a.replay}"
     if a.render_arm != "accel":
         base += f"_{a.render_arm}"
+    if getattr(a, "enc", "16x2") != "16x2":
+        base += f"_enc{a.enc}"
     return base
 
 
@@ -118,9 +125,10 @@ def models_for(a, num_classes=40):
                             stochastic_fwd=sfwd)
         n_rays = 1024
     else:
+        L, F = (int(x) for x in getattr(a, "enc", "16x2").split("x"))
         seg = DeepLabV3(num_classes=num_classes)
         nerf = SemanticNeRF(bound=4.0, num_semantic_classes=num_classes,
-                            stochastic_fwd=sfwd)
+                            n_levels=L, n_features=F, stochastic_fwd=sfwd)
         n_rays = 4096
     return seg, {"seg_model": seg, "nerf_model": nerf, "n_rays": n_rays}
 
@@ -220,7 +228,11 @@ def joint_exp(a, stage_i):
                       "name": "Adam"},
         "trainer": {"max_epochs": a.joint_epochs,
                     "resume_from_checkpoint": False,
-                    "load_from_checkpoint": True},
+                    "load_from_checkpoint": True,
+                    # no resume anchors in the experiment harness: per-epoch
+                    # R101 params+opt orbax writes would dominate the tiny
+                    # stages' wall-clock
+                    "save_last": False},
         "data_module": {"batch_size": 2, "shuffle": True, "num_workers": 0,
                         "drop_last": True,
                         "data_preprocessing": {"split_file": "split.npz",

@@ -260,3 +260,104 @@ def test_early_stop_in_staged_render():
     assert out["image"].shape == (104, 3)
     for v in out.values():
         assert np.isfinite(np.asarray(v)).all()
+
+
+class _FogSheetModel:
+    """High-frequency semi-transparent scene: 12 thin density sheets along
+    z, each with its own semantic class and moderate opacity, so per-sample
+    weights are SMALL (many below weight_mask_threshold) and transmittance
+    decays slowly — the adversarial regime for the early-stop refine
+    heuristic's masked-mass residual scoring (ops/renderer.py
+    render_rays_early_stop)."""
+    bound = 1.0
+
+    def apply(self, variables, *args, method=None):
+        if method == "density":
+            x = args[0]
+            # sheets of width 0.01 every 0.12 in z, density 6 → per-sheet
+            # alpha ~ a few percent per sample at 32-step spacing
+            z = x[:, 2]
+            phase = jnp.abs(jnp.mod(z + 1.0, 0.12) - 0.06)
+            sigma = jnp.where(phase < 0.01, 6.0, 0.0)
+            return sigma, x
+        if method == "color":
+            d, g = args
+            return jax.nn.sigmoid(g)
+        if method == "semantics":
+            g = args[0]
+            # class = sheet index mod 4 (from z carried in the geo features)
+            sheet = jnp.floor((g[:, 2] + 1.0) / 0.12).astype(jnp.int32) % 4
+            return jax.nn.one_hot(sheet, 4) * 0.9 + 0.025
+        raise ValueError(method)
+
+
+def test_early_stop_label_contract_high_frequency():
+    """VERDICT r3 #8, made precise. The early-stop render's label guarantee
+    is a CONTRACT, not unconditional agreement: (a) rays refined at the
+    full budget match the flat full-budget render exactly; (b) unrefined
+    rays carry the stage-1 (half-budget) result, so overall agreement with
+    the full render is never below the flat stage-1 render's agreement —
+    refinement can only help; (c) the aggregate improvement from the
+    residual-mass refine scoring is real (strictly better than stage-1 on
+    this scene). On an adversarial unsaturated high-frequency scene (thin
+    semi-transparent sheets — most weights sub-threshold, label argmax
+    genuinely budget-sensitive) agreement is quantified and recorded in
+    PARITY.md; on saturating scenes (real rooms) labels measured
+    bit-identical (PERFORMANCE.md render tables)."""
+    from dataclasses import replace
+
+    from ucsa_neural_rendering_tpu.ops.renderer import render_rays_early_stop
+
+    model = _FogSheetModel()
+    n = 256
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(np.stack([rng.uniform(-0.3, 0.3, n),
+                              rng.uniform(-0.3, 0.3, n),
+                              np.full(n, -0.95)], -1).astype(np.float32))
+    d = np.stack([rng.uniform(-0.4, 0.4, n), rng.uniform(-0.4, 0.4, n),
+                  np.ones(n)], -1)
+    d = jnp.asarray((d / np.linalg.norm(d, axis=-1, keepdims=True))
+                    .astype(np.float32))
+    dn = jnp.ones((n,))
+
+    cfg = RenderConfig(num_steps=32, upsample_steps=32)
+    full = render_rays(model, {}, o, d, dn, None, cfg)
+    sem_full, _ = normalize_semantics(full["semantics"])
+    lab_full = np.asarray(jnp.argmax(sem_full, -1))
+
+    # the scene is in the adversarial regime: the vast majority of rays
+    # never saturate (grazing-angle rays crossing many sheets may), so the
+    # refine choice is driven by the residual-mass heuristic
+    acc = np.asarray(full["semantics"]).sum(-1)
+    assert (acc < 1 - 1e-4).mean() > 0.9
+
+    stage1, k = 16, 0.25  # the derived test-default shape
+    # the actual stage-1 program inside render_rays_early_stop: stage1
+    # stratified samples, NO importance pass
+    cfg_s1 = RenderConfig(num_steps=stage1, upsample_steps=0)
+    s1 = render_rays(model, {}, o, d, dn, None, cfg_s1)
+    sem_s1, _ = normalize_semantics(s1["semantics"])
+    lab_s1 = np.asarray(jnp.argmax(sem_s1, -1))
+    agree_s1 = float((lab_s1 == lab_full).mean())
+
+    cfg_es = replace(cfg, early_stop=True, stage1_steps=stage1,
+                     refine_fraction=k)
+    es = render_rays_early_stop(model, {}, o, d, dn, cfg_es)
+    sem_es, _ = normalize_semantics(es["semantics"])
+    lab_es = np.asarray(jnp.argmax(sem_es, -1))
+    agree_es = float((lab_es == lab_full).mean())
+
+    # (a) every ray whose early-stop output differs from stage-1 was
+    # refined at the full budget → must match the full render's label
+    refined = np.any(np.asarray(es["semantics"]) != np.asarray(
+        s1["semantics"]), axis=-1)
+    assert refined.sum() >= 1
+    np.testing.assert_array_equal(lab_es[refined], lab_full[refined])
+    # (b) refinement can only help overall agreement
+    assert agree_es >= agree_s1, (agree_es, agree_s1)
+    # (c) the heuristic really spends ~K slots on distinct rays, and the
+    # measured lift on this worst case is substantial (PARITY.md records
+    # 0.371 vs 0.176 — refined rays exact, unrefined rays at stage-1
+    # quality; the stated bound is agree_es - agree_s1 >= 0.15 here)
+    assert refined.mean() >= k * 0.9, refined.mean()
+    assert agree_es - agree_s1 >= 0.15, (agree_es, agree_s1)
