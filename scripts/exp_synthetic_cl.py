@@ -195,7 +195,9 @@ def pretrain_exp(a):
                          "poly_cfg": {"power": 0.9,
                                       "max_epochs": a.pretrain_epochs,
                                       "target_lr": 1e-6}},
-        "trainer": {"max_epochs": a.pretrain_epochs},
+        "trainer": {"max_epochs": a.pretrain_epochs,
+                    # no 700 MB-per-epoch resume anchors on the tiny corpus
+                    "save_last": False},
         "data_module": {"root": env_dict(a)["scannet_frames_25k"],
                         "batch_size": 4, "drop_last": False,
                         "data_preprocessing": {"split_file": "split.npz"}},

@@ -199,10 +199,16 @@ def train(exp: dict, env: dict, args, exp_cfg_path=None, env_cfg_path=None,
                 best_miou = miou
                 save_deeplab(os.path.join(model_path, "best_ckpt"), state[0],
                              state[1])
-        save_tree(resume_dir, {"params": state[0], "batch_stats": state[1],
-                               "opt_state": state[2],
-                               "epoch": np.int64(epoch + 1),
-                               "best_miou": np.float64(best_miou)})
+        # trainer.save_last=false disables the per-epoch resume anchor
+        # (default True = the reference's ModelCheckpoint(save_last); the
+        # R101+opt tree is ~700 MB per write — experiment harnesses on tiny
+        # corpora opt out)
+        if exp.get("trainer", {}).get("save_last", True):
+            save_tree(resume_dir,
+                      {"params": state[0], "batch_stats": state[1],
+                       "opt_state": state[2],
+                       "epoch": np.int64(epoch + 1),
+                       "best_miou": np.float64(best_miou)})
 
     meters["test"].clear()
     run_epoch(trainer, state, test_dl, bs, mesh, init_lr, meters["test"],
