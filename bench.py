@@ -106,7 +106,7 @@ def _measure_fit(model, cfg, n_rays, steps, use_occupancy, H, W):
     # sampling mode — keying on use_occupancy overstated the dense step's
     # accounted traffic ~5x (r3 review fix)
     hbm_gbps = _table_traffic_bytes(
-        n_rays, samples, 16,
+        n_rays, samples, model.n_levels,
         stochastic=model.stochastic_table_grad) / (dt / steps) / 1e9
     return n_rays * steps / dt, hbm_gbps, tr, params, grid, batch
 
@@ -125,7 +125,12 @@ def main():
     remat = {"0": False, "1": True}.get(os.environ.get("BENCH_REMAT", ""),
                                         "auto")
 
-    model = SemanticNeRF(bound=4.0, num_semantic_classes=40)
+    # headline encoding geometry follows the SHIPPED config (BENCH_ENC to
+    # override, e.g. "16x2" for the reference geometry)
+    enc_L, enc_F = (int(x) for x in
+                    os.environ.get("BENCH_ENC", "16x2").split("x"))
+    model = SemanticNeRF(bound=4.0, num_semantic_classes=40,
+                         n_levels=enc_L, n_features=enc_F)
 
     # --- accelerated mode (the headline): occupancy 32+32 ---
     accel_cfg = RenderConfig(num_steps=32, upsample_steps=32,
@@ -138,13 +143,16 @@ def main():
     if os.environ.get("BENCH_SKIP_DENSE", "0") != "1":
         dense_cfg = RenderConfig(num_steps=256, upsample_steps=256,
                                  remat=remat)
+        # dense parity ALWAYS measures the reference's exact model geometry
+        # (16x2, network_tcnn_semantics.py:36-46) regardless of BENCH_ENC
+        dense_model = SemanticNeRF(bound=4.0, num_semantic_classes=40)
         # NOTE: on TPU the dense step engages the default train packing
         # (train_packed_max_entries=2^21) — an exact relayout whose step is
         # bit-equal on the table / 1-ULP on MLP leaves (tests), i.e. the
         # SAME workload faster; the +25% r2->r3 dense delta is attributed
         # to it in PERFORMANCE.md.
         dense_rays, dense_gbps, *_ = _measure_fit(
-            model, dense_cfg, n_rays, dense_steps, False, H, W)
+            dense_model, dense_cfg, n_rays, dense_steps, False, H, W)
         extras["dense_rays_per_sec"] = round(dense_rays, 1)
         extras["dense_vs_baseline"] = round(
             dense_rays / BASELINE_RAYS_PER_SEC, 3)

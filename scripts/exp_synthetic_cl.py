@@ -53,6 +53,12 @@ def parse_args():
     p.add_argument("--frames", type=int, default=8, help="frames per scene")
     p.add_argument("--tiny", action="store_true",
                    help="tiny seg backbone + small NeRF (CPU-sized)")
+    p.add_argument("--seg-tiny", action="store_true",
+                   help="tiny seg backbone but FULL-SIZE NeRF + budgets: "
+                        "the render-config quality gate varies the NeRF "
+                        "side, and a from-scratch R101 cannot reach a "
+                        "useful operating point on the tiny synthetic "
+                        "corpus (no ImageNet init here)")
     p.add_argument("--replay", choices=["on", "off"], default="on",
                    help="CL replay arm: rendered replay + 25k fraction (the "
                         "reference protocol) vs naive finetuning")
@@ -126,7 +132,13 @@ def models_for(a, num_classes=40):
         n_rays = 1024
     else:
         L, F = (int(x) for x in getattr(a, "enc", "16x2").split("x"))
-        seg = DeepLabV3(num_classes=num_classes)
+        if getattr(a, "seg_tiny", False):
+            from ucsa_neural_rendering_tpu.models import TINY_LAYOUT
+            seg = DeepLabV3(num_classes=num_classes,
+                            backbone_layout=TINY_LAYOUT,
+                            aspp_channels=32, head_channels=32)
+        else:
+            seg = DeepLabV3(num_classes=num_classes)
         nerf = SemanticNeRF(bound=4.0, num_semantic_classes=num_classes,
                             n_levels=L, n_features=F, stochastic_fwd=sfwd)
         n_rays = 4096
