@@ -48,18 +48,20 @@ BASELINE_SOURCE = (
 HBM_ROOF_GBPS = 819.0  # TPU v5e HBM bandwidth ceiling
 
 
-def _table_traffic_bytes(n_rays, samples, n_levels, stochastic=True):
+def _table_traffic_bytes(n_rays, samples, n_levels, n_features=2,
+                         stochastic=True):
     """Hash-table bytes touched per train step — the roofline accounting
-    (VERDICT r1 #7). Forward: 8 corner rows x n_levels per sample, bf16 F=2
-    (4 B/row). Backward (stochastic): 1 contribution per (point, level),
-    12 B (int32 idx + 2xf32), moved ~5x by the sort + one read/write of the
-    dense blocks. This counts ROW traffic, not cache lines: the measured
-    gather/scatter cost (~7/85 ns/row) is latency-bound, so achieved GB/s
-    vs the 819 GB/s roof quantifies how far from bandwidth-bound we run."""
+    (VERDICT r1 #7). Forward: 8 corner rows x n_levels per sample, bf16
+    rows of n_features (2 B each). Backward (stochastic): 1 contribution
+    per (point, level), (4 + 4*n_features) B (int32 idx + f32 features),
+    moved ~5x by the sort + one read/write of the dense blocks. This
+    counts ROW traffic, not cache lines: the measured gather/scatter cost
+    (~7/85 ns/row) is latency-bound, so achieved GB/s vs the 819 GB/s
+    roof quantifies how far from bandwidth-bound we run."""
     pts = n_rays * samples
-    fwd = pts * n_levels * 8 * 4
+    fwd = pts * n_levels * 8 * (2 * n_features)
     rows_bwd = pts * n_levels * (1 if stochastic else 8)
-    bwd = rows_bwd * 12 * 5
+    bwd = rows_bwd * (4 + 4 * n_features) * 5
     return fwd + bwd
 
 
@@ -106,7 +108,7 @@ def _measure_fit(model, cfg, n_rays, steps, use_occupancy, H, W):
     # sampling mode — keying on use_occupancy overstated the dense step's
     # accounted traffic ~5x (r3 review fix)
     hbm_gbps = _table_traffic_bytes(
-        n_rays, samples, model.n_levels,
+        n_rays, samples, model.n_levels, model.n_features,
         stochastic=model.stochastic_table_grad) / (dt / steps) / 1e9
     return n_rays * steps / dt, hbm_gbps, tr, params, grid, batch
 
