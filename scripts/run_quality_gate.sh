@@ -56,4 +56,6 @@ arm enc4x8 --enc 4x8
 arm dense --render-arm dense
 arm ladder --render-arm ladder
 arm enc8x4 --enc 8x4
+# combined row-count levers: only meaningful if both individually pass
+arm enc4x8ladder --enc 4x8 --render-arm ladder
 echo "[gate] all arms attempted; reports in $ROOT/experiments/report_*.json"
