@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def fit_variant(n_levels, n_features, steps, H, W, n_rays=4096,
-                log2_size=19, train_packed=2 ** 21):
+                log2_size=19, train_packed=2 ** 21, sfwd=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -37,7 +37,8 @@ def fit_variant(n_levels, n_features, steps, H, W, n_rays=4096,
     frames, intr = make_synthetic_scene(6, H, W)
     model = SemanticNeRF(bound=1.0, num_semantic_classes=40,
                          n_levels=n_levels, n_features=n_features,
-                         log2_hashmap_size=log2_size)
+                         log2_hashmap_size=log2_size,
+                         stochastic_fwd=sfwd)
     cfg = RenderConfig(num_steps=32, upsample_steps=32, occ_candidates=128,
                        train_packed_max_entries=train_packed)
     tr = NeRFTrainer(model, cfg, lr=1e-2, n_rays=n_rays, image_hw=(H, W))
@@ -148,14 +149,27 @@ def main():
     ap.add_argument("--skip-encodings", action="store_true")
     ap.add_argument("--skip-fused", action="store_true")
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--sfwd", action="store_true",
+                    help="fully stochastic-forward encoding (the 26k "
+                         "accel-ladder knob) on every encoding variant")
+    ap.add_argument("--enc", default="16x2,8x4,4x8",
+                    help="comma-separated LxF variants to measure")
     args = ap.parse_args()
+    # honor JAX_PLATFORMS=cpu via live config (the axon plugin's discovery
+    # ignores the env var; PERFORMANCE.md round-3 environment notes)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     H, W = args.hw
     results = {}
     if not args.skip_encodings:
-        for (L, F) in ((16, 2), (8, 4), (4, 8)):
-            r = fit_variant(L, F, args.steps, H, W)
-            results[f"enc_{L}x{F}"] = r
-            print(f"enc {L:2d}x{F}: {r}", flush=True)
+        variants = [tuple(int(v) for v in e.split("x"))
+                    for e in args.enc.split(",")]
+        for (L, F) in variants:
+            r = fit_variant(L, F, args.steps, H, W, sfwd=args.sfwd)
+            tag = f"enc_{L}x{F}" + ("_sfwd" if args.sfwd else "")
+            results[tag] = r
+            print(f"{tag}: {r}", flush=True)
     if not args.skip_fused:
         for fused in (False, True):
             steps = args.steps // args.batch
