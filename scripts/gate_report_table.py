@@ -9,6 +9,11 @@ the metrics the gate decides on (VERDICT r3 #1/#2):
     engages, so they only add noise to the mean);
   * nerf-level (what feeds replay/finetune data): per-stage rendered-label
     test mIoU from each stage's metrics.jsonl.
+
+Usage: gate_report_table.py [root[,root2,...]] [dead_scene[,scene...]]
+Multiple comma-separated roots = seed replicates of the same arms; rows
+report the across-seed mean plus the per-seed values so the paired spread
+is visible.
 """
 
 import glob
@@ -17,7 +22,7 @@ import os
 import re
 import sys
 
-ROOT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ucsa_gate"
+ROOTS = (sys.argv[1] if len(sys.argv) > 1 else "/tmp/ucsa_gate").split(",")
 DEAD = set((sys.argv[2].split(",") if len(sys.argv) > 2 else
             ["scene0001_00"]))  # pretrain transfer ~0 (see gate notes)
 
@@ -35,39 +40,61 @@ def last_metric(path, key):
     return val
 
 
+def arm_row(root, rp):
+    with open(rp) as f:
+        rep = json.load(f)
+    arm = rep["arm"]
+    scenes = rep["scenes"]
+    mat = rep["val_mIoU"]
+    n = len(scenes)
+    live = [s for s in scenes if s not in DEAD]
+    news_live = [mat[f"stage_{i}"][scenes[i]] for i in range(n)
+                 if scenes[i] in live and f"stage_{i}" in mat]
+    last = mat.get(f"stage_{n - 1}", {})
+    olds_live = [last[s] for s in live[:-1] if s in last
+                 and s != scenes[n - 1]]
+    nerf = []
+    for i in range(n):
+        mj = os.path.join(root, "experiments", arm, f"stage_{i}",
+                          "metrics.jsonl")
+        v = last_metric(mj, "test/nerf_mean_IoU")
+        nerf.append(round(v, 4) if v is not None else None)
+    return {
+        "arm": arm,
+        "new_scene_mIoU_mean": rep["new_scene_mIoU_mean"],
+        "new_scene_mIoU_live": (sum(news_live) / len(news_live)
+                                if news_live else None),
+        "old_scene_final_live": (sum(olds_live) / len(olds_live)
+                                 if olds_live else None),
+        "nerf_test_mIoU_per_stage": nerf,
+    }
+
+
 def main():
+    by_arm = {}
+    for root in ROOTS:
+        for rp in sorted(glob.glob(os.path.join(root, "experiments",
+                                                "report_*.json"))):
+            row = arm_row(root, rp)
+            by_arm.setdefault(row["arm"], []).append(row)
     rows = []
-    for rp in sorted(glob.glob(os.path.join(ROOT, "experiments",
-                                            "report_*.json"))):
-        with open(rp) as f:
-            rep = json.load(f)
-        arm = rep["arm"]
-        scenes = rep["scenes"]
-        mat = rep["val_mIoU"]
-        n = len(scenes)
-        live = [s for s in scenes if s not in DEAD]
-        news = [mat[f"stage_{i}"][scenes[i]] for i in range(n)
-                if f"stage_{i}" in mat and scenes[i] in mat[f"stage_{i}"]]
-        news_live = [mat[f"stage_{i}"][scenes[i]] for i in range(n)
-                     if scenes[i] in live and f"stage_{i}" in mat]
-        last = mat.get(f"stage_{n - 1}", {})
-        olds_live = [last[s] for s in live[:-1] if s in last
-                     and s != scenes[n - 1]]
-        nerf = []
-        for i in range(n):
-            mj = os.path.join(ROOT, "experiments", arm, f"stage_{i}",
-                              "metrics.jsonl")
-            v = last_metric(mj, "test/nerf_mean_IoU")
-            nerf.append(round(v, 4) if v is not None else None)
-        rows.append({
-            "arm": arm,
-            "new_scene_mIoU_mean": round(rep["new_scene_mIoU_mean"], 4),
-            "new_scene_mIoU_live": round(sum(news_live) / len(news_live), 4)
-            if news_live else None,
-            "old_scene_final_live": round(sum(olds_live) / len(olds_live), 4)
-            if olds_live else None,
-            "nerf_test_mIoU_per_stage": nerf,
-        })
+    for arm, reps in by_arm.items():
+        def mean_of(key):
+            vals = [r[key] for r in reps if r[key] is not None]
+            return round(sum(vals) / len(vals), 4) if vals else None
+        out = {"arm": arm, "seeds": len(reps),
+               "new_scene_mIoU_mean": mean_of("new_scene_mIoU_mean"),
+               "new_scene_mIoU_live": mean_of("new_scene_mIoU_live"),
+               "old_scene_final_live": mean_of("old_scene_final_live")}
+        if len(reps) > 1:
+            out["new_live_per_seed"] = [round(r["new_scene_mIoU_live"], 4)
+                                        for r in reps]
+            out["old_live_per_seed"] = [round(r["old_scene_final_live"], 4)
+                                        for r in reps]
+        else:
+            out["nerf_test_mIoU_per_stage"] = reps[0][
+                "nerf_test_mIoU_per_stage"]
+        rows.append(out)
     print(json.dumps(rows, indent=2))
 
 

@@ -19,8 +19,12 @@ set -u
 ROOT=${ROOT:-/tmp/ucsa_gate}
 LOG=${LOG:-/tmp/gate_logs}
 SCENES=${SCENES:-3}
+SEED=${SEED:-123}
+# ARMS: space-separated subset to run (seed replicates re-run only the
+# decision-relevant arms; paired comparison = same seed, same data)
+ARMS=${ARMS:-accel16x2 enc4x8 dense ladder enc8x4 enc4x8ladder}
 COMMON="--root $ROOT --scenes $SCENES --hw 120x160 --frames 8 --seg-tiny \
-        --nerf-epochs 10 --joint-epochs 5"
+        --nerf-epochs 10 --joint-epochs 5 --seed $SEED"
 mkdir -p "$LOG"
 cd /root/repo
 # APPEND to PYTHONPATH — the TPU tunnel's PJRT plugin registers via a
@@ -43,6 +47,7 @@ run() { # run <tag> <args...>
 
 arm() { # arm <tag> <extra args...>
   local tag=$1; shift
+  case " $ARMS " in *" $tag "*) ;; *) return 0 ;; esac
   for i in $(seq 0 $((SCENES - 1))); do
     run "${tag}_s$i" --phase stage --stage-idx "$i" "$@" || return 1
   done
