@@ -127,12 +127,15 @@ def main():
     remat = {"0": False, "1": True}.get(os.environ.get("BENCH_REMAT", ""),
                                         "auto")
 
-    # headline encoding geometry follows the SHIPPED config (BENCH_ENC to
-    # override, e.g. "16x2" for the reference geometry)
-    enc_L, enc_F = (int(x) for x in
-                    os.environ.get("BENCH_ENC", "16x2").split("x"))
+    # headline encoding geometry follows the SHIPPED config (BENCH_ENC /
+    # BENCH_SFWD to override, e.g. "16x2" for the reference geometry;
+    # sfwd = fully stochastic-forward encoding, the accel-ladder knob)
+    enc = os.environ.get("BENCH_ENC", "16x2")
+    enc_L, enc_F = (int(x) for x in enc.split("x"))
+    sfwd = os.environ.get("BENCH_SFWD", "0") == "1"
     model = SemanticNeRF(bound=4.0, num_semantic_classes=40,
-                         n_levels=enc_L, n_features=enc_F)
+                         n_levels=enc_L, n_features=enc_F,
+                         stochastic_fwd=sfwd)
 
     # --- accelerated mode (the headline): occupancy 32+32 ---
     accel_cfg = RenderConfig(num_steps=32, upsample_steps=32,
@@ -250,6 +253,8 @@ def main():
         "metric": "nerf_fit_rays_per_sec_per_chip",
         "value": round(accel_rays, 1),
         "unit": "rays/s",
+        "headline_config": {"enc": enc, "sfwd": sfwd,
+                            "sampling": "occ32+32"},
         "vs_baseline": round(accel_rays / BASELINE_RAYS_PER_SEC, 3),
         "baseline_rays_per_sec": BASELINE_RAYS_PER_SEC,
         "baseline_source": BASELINE_SOURCE,
