@@ -398,15 +398,19 @@ def hash_encode(table: jnp.ndarray, x01: jnp.ndarray, spec: HashGridSpec,
     return _hash_encode_raw(table, x01, spec, compute_dtype)
 
 
-def _corner_uniform(x01: jnp.ndarray, n_levels: int) -> jnp.ndarray:
+def _corner_uniform(x01: jnp.ndarray, n_levels: int,
+                    salt: int = 0) -> jnp.ndarray:
     """Deterministic per-(point, level) uniform in [0,1) from the position
     bits — used to pick a stochastic gradient corner without threading PRNG
     keys through the model. Positions vary every step (jittered ray
-    sampling), so these act as fresh draws across steps."""
+    sampling), so these act as fresh draws across steps. `salt` derives an
+    independent stream (e.g. the face estimator's per-axis draws); salt=0
+    reproduces the original stream, so forward/backward recomputations
+    stay draw-identical."""
     bits = jax.lax.bitcast_convert_type(x01.astype(jnp.float32), jnp.uint32)
     h = (bits[:, 0] * np.uint32(_PRIMES[1])) ^ \
         (bits[:, 1] * np.uint32(_PRIMES[2])) ^ \
-        (bits[:, 2] * np.uint32(0x9E3779B9))
+        (bits[:, 2] * np.uint32(0x9E3779B9)) ^ np.uint32(salt)
     lvl = jnp.arange(n_levels, dtype=jnp.uint32) * np.uint32(0x85EBCA6B)
     h = h[:, None] ^ lvl[None, :]
     h = (h ^ (h >> 15)) * np.uint32(0x2C1B3C6D)
@@ -500,6 +504,144 @@ def _hesf_bwd(spec, x01, g):
 
 
 hash_encode_stochastic_fwd.defvjp(_hesf_fwd, _hesf_bwd)
+
+
+# Per-axis salts for the face estimator's independent Bernoulli draws.
+# The trilinear corner distribution factorizes over axes
+# (w_c = prod_a [frac_a if bit_a else 1-frac_a]), so sampling axis bits
+# independently IS sampling the corner w.p. its trilinear weight.
+_FACE_SALT_E1 = 0x7F4A7C15
+_FACE_SALT_E2 = 0x94D049BB
+
+
+def _level_face_axes(x01: jnp.ndarray, res: int):
+    """Per point: the SAMPLED axis a (the one whose frac is most certain —
+    argmax |frac-0.5| — so the Bernoulli draw carries the least variance)
+    and the two exact axes e1/e2, plus each axis's frac.
+    Returns (a, e1, e2, fa, f1, f2), all [N]."""
+    pos = x01.astype(jnp.float32) * res
+    frac = pos - jnp.floor(pos)
+    a = jnp.argmax(jnp.abs(frac - 0.5), axis=-1).astype(jnp.uint32)
+    e1 = (a + 1) % 3
+    e2 = (a + 2) % 3
+
+    def sel(axis):
+        return jnp.where(axis == 0, frac[:, 0],
+                         jnp.where(axis == 1, frac[:, 1], frac[:, 2]))
+
+    return a, e1, e2, sel(a), sel(e1), sel(e2)
+
+
+def _level_face_rows(x01, res, size, is_hashed, u):
+    """One level's face sampling: draw the sampled axis's corner bit w.p.
+    its frac (u: [N] uniform) and return the chosen cell FACE — the 4
+    within-level corner indices [N, 4] and their exact bilinear weights
+    over the two remaining axes [N, 4] (sum to 1)."""
+    a, e1, e2, fa, f1, f2 = _level_face_axes(x01, res)
+    one = jnp.ones_like(a)
+    ca = (u < fa).astype(jnp.uint32)
+    base = ca * (one << a)
+    idxs, ws = [], []
+    for b1 in (0, 1):
+        for b2 in (0, 1):
+            corner = base + (jnp.uint32(b1) * (one << e1)) \
+                + (jnp.uint32(b2) * (one << e2))
+            w = (f1 if b1 else 1.0 - f1) * (f2 if b2 else 1.0 - f2)
+            idxs.append(_level_corner_index(x01, res, size, is_hashed,
+                                            corner.astype(jnp.int32)))
+            ws.append(w)
+    return jnp.stack(idxs, 1), jnp.stack(ws, 1)
+
+
+def _level_face_choice(x01, res, size, is_hashed, u, u1, u2):
+    """The backward's single chosen corner WITHIN the forward's face: the
+    sampled-axis bit recomputes from the SAME u as the forward (gradient
+    only ever flows to rows the forward read), the two exact axes' bits
+    draw independently w.p. their fracs (u1/u2) — importance sampling the
+    face's bilinear weights, so the unweighted scatter is an unbiased
+    estimate of the exact face adjoint. [N] within-level indices."""
+    a, e1, e2, fa, f1, f2 = _level_face_axes(x01, res)
+    one = jnp.ones_like(a)
+    corner = ((u < fa).astype(jnp.uint32) * (one << a)
+              + (u1 < f1).astype(jnp.uint32) * (one << e1)
+              + (u2 < f2).astype(jnp.uint32) * (one << e2))
+    return _level_corner_index(x01, res, size, is_hashed,
+                               corner.astype(jnp.int32))
+
+
+def sampled_face_rows(x01: jnp.ndarray, spec: HashGridSpec):
+    """[N, 3] → (global face-corner indices [N, L, 4] int32, bilinear
+    weights [N, L, 4] f32). E over the axis draw of the weighted blend
+    equals the exact trilinear blend."""
+    u = _corner_uniform(x01, spec.n_levels)
+    idx_all, w_all = [], []
+    for lvl in range(spec.n_levels):
+        idx, w = _level_face_rows(x01, spec.resolutions[lvl],
+                                  spec.sizes[lvl], spec.hashed[lvl],
+                                  u[:, lvl])
+        idx_all.append(idx + spec.offsets[lvl])
+        w_all.append(w)
+    return jnp.stack(idx_all, 1), jnp.stack(w_all, 1)
+
+
+def hash_encode_face_sampled(table: jnp.ndarray, x01: jnp.ndarray,
+                             spec: HashGridSpec,
+                             compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Stratified HALF-stochastic forward: per (point, level), sample ONE
+    axis bit (the most-certain axis) and blend the resulting cell face
+    EXACTLY with bilinear weights. 4 gather rows per (point, level) — 2x
+    fewer than exact trilinear, with strictly less estimator variance than
+    the single-corner forward (two of three axes interpolate exactly, and
+    the sampled axis is the one closest to a vertex)."""
+    n = x01.shape[0]
+    idx, w = sampled_face_rows(x01, spec)
+    feats = jnp.take(table.astype(compute_dtype), idx.reshape(-1), axis=0)
+    feats = feats.reshape(n, spec.n_levels, 4, spec.n_features)
+    return jnp.sum(feats * w[..., None].astype(compute_dtype),
+                   axis=2).reshape(n, spec.n_levels * spec.n_features)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hash_encode_stochastic_face(table, x01, spec: HashGridSpec):
+    """`stochastic_fwd="face"`: the stratified face forward (see
+    hash_encode_face_sampled) with a single-corner backward drawn WITHIN
+    the forward's face (importance-cancelled bilinear weight — unbiased
+    for the face adjoint, 1 scatter row per (point, level) like the other
+    stochastic estimators). The middle ladder rung between the exact
+    trilinear forward (8 rows) and the fully stochastic one (1 row)."""
+    return hash_encode_face_sampled(table, x01, spec)
+
+
+def _hesface_fwd(table, x01, spec):
+    return hash_encode_face_sampled(table, x01, spec), x01
+
+
+def _hesface_bwd(spec, x01, g):
+
+    def per_chunk(acc, xg):
+        xc, gc = xg
+        m = xc.shape[0]
+        u = _corner_uniform(xc, spec.n_levels)          # same draw as fwd
+        u1 = _corner_uniform(xc, spec.n_levels, salt=_FACE_SALT_E1)
+        u2 = _corner_uniform(xc, spec.n_levels, salt=_FACE_SALT_E2)
+        idx_all = []
+        for lvl in range(spec.n_levels):
+            idx = _level_face_choice(xc, spec.resolutions[lvl],
+                                     spec.sizes[lvl], spec.hashed[lvl],
+                                     u[:, lvl], u1[:, lvl], u2[:, lvl])
+            idx_all.append(idx + spec.offsets[lvl])
+        chosen = jnp.stack(idx_all, 1)                  # [M, L]
+        gc = gc.reshape(m, spec.n_levels,
+                        spec.n_features).astype(jnp.float32)
+        return _accumulate_rows(acc, chosen.reshape(-1),
+                                gc.reshape(-1, spec.n_features)), None
+
+    grad_table = _chunked_scatter_bwd(
+        x01, g.reshape(x01.shape[0], -1), spec, per_chunk)
+    return grad_table, jnp.zeros_like(x01)
+
+
+hash_encode_stochastic_face.defvjp(_hesface_fwd, _hesface_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -600,6 +742,11 @@ class HashGridEncoding(nn.Module):
             # hybrid accel: exact packed coarse + sampled fine forward,
             # stochastic-corner backward (see hash_encode_hybrid_train)
             return hash_encode_hybrid_train(table, packed, x01, self.spec)
+        if train and self.stochastic_fwd == "face":
+            # stratified half-stochastic forward: one sampled axis bit,
+            # exact bilinear face blend (4 rows; see
+            # hash_encode_stochastic_face)
+            return hash_encode_stochastic_face(table, x01, self.spec)
         if packed is not None and not (train and self.stochastic_fwd):
             # cell-packed lookups (see models/packed_table.py): one row per
             # (point, packed level). probe=True additionally single-corner-

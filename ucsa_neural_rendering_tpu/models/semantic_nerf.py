@@ -77,7 +77,10 @@ class SemanticNeRF(nn.Module):
     # packed coarse levels exact and samples only the fine levels — the
     # geometry-carrying structure stays exact (requires
     # RenderConfig.train_packed_max_entries > 0 to supply the packed
-    # table; falls back to exact otherwise).
+    # table; falls back to exact otherwise); "face" samples ONE axis bit
+    # (the most-certain axis) and blends the resulting cell face exactly
+    # (4 rows — the stratified middle rung: 2x fewer reads at strictly
+    # lower estimator variance than True).
     stochastic_fwd: bool | str = False
 
     def grid_spec(self):
