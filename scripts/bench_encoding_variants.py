@@ -149,9 +149,12 @@ def main():
     ap.add_argument("--skip-encodings", action="store_true")
     ap.add_argument("--skip-fused", action="store_true")
     ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--sfwd", action="store_true",
-                    help="fully stochastic-forward encoding (the 26k "
-                         "accel-ladder knob) on every encoding variant")
+    ap.add_argument("--sfwd", nargs="?", const="full", default=None,
+                    choices=["full", "face"],
+                    help="stochastic-forward encoding on every variant: "
+                         "'full' = single-corner (the 26k accel-ladder "
+                         "knob), 'face' = stratified one-axis face "
+                         "sampling (4 rows, exact bilinear face blend)")
     ap.add_argument("--enc", default="16x2,8x4,4x8",
                     help="comma-separated LxF variants to measure")
     args = ap.parse_args()
@@ -165,9 +168,10 @@ def main():
     if not args.skip_encodings:
         variants = [tuple(int(v) for v in e.split("x"))
                     for e in args.enc.split(",")]
+        sfwd = {None: False, "full": True, "face": "face"}[args.sfwd]
         for (L, F) in variants:
-            r = fit_variant(L, F, args.steps, H, W, sfwd=args.sfwd)
-            tag = f"enc_{L}x{F}" + ("_sfwd" if args.sfwd else "")
+            r = fit_variant(L, F, args.steps, H, W, sfwd=sfwd)
+            tag = f"enc_{L}x{F}" + (f"_sfwd_{args.sfwd}" if args.sfwd else "")
             results[tag] = r
             print(f"{tag}: {r}", flush=True)
     if not args.skip_fused:

@@ -67,7 +67,8 @@ def parse_args():
                         "output (full-size arms only): 16x2 (reference), "
                         "8x4, 4x8 — the row-count lever measured by "
                         "scripts/bench_encoding_variants.py")
-    p.add_argument("--render-arm", choices=["accel", "dense", "ladder"],
+    p.add_argument("--render-arm",
+                   choices=["accel", "dense", "ladder", "face"],
                    default="accel",
                    help="render/train configuration arm for the quality "
                         "gate (round-4 verdict #1): 'accel' = occupancy "
@@ -75,7 +76,9 @@ def parse_args():
                         "reference's 256+256 stratified+importance with "
                         "occupancy off, 'ladder' = accel + fully "
                         "stochastic-forward encoding (the 26k rays/s "
-                        "train knob, PERFORMANCE.md accel ladder)")
+                        "train knob, PERFORMANCE.md accel ladder), "
+                        "'face' = accel + stratified face-sampled "
+                        "forward (4 rows, exact bilinear face blend)")
     p.add_argument("--pretrain-epochs", type=int, default=30)
     p.add_argument("--pretrain-lr", type=float, default=1e-3,
                    help="the reference pretrains at 1e-4 for 150 epochs on "
@@ -120,8 +123,11 @@ def models_for(a, num_classes=40):
     swaps the structurally-identical small layouts used by the test suite."""
     from ucsa_neural_rendering_tpu.models import DeepLabV3, SemanticNeRF
     # the ladder arm trains with the fully stochastic-forward encoding
-    # (PERFORMANCE.md accel ladder: 26.3k rays/s vs 13.9k exact)
-    sfwd = getattr(a, "render_arm", "accel") == "ladder"
+    # (PERFORMANCE.md accel ladder: 26.3k rays/s vs 13.9k exact); the face
+    # arm uses the stratified one-axis face estimator (half the rows of
+    # exact at strictly lower variance than ladder)
+    sfwd = {"ladder": True, "face": "face"}.get(
+        getattr(a, "render_arm", "accel"), False)
     if a.tiny:
         from ucsa_neural_rendering_tpu.models import TINY_LAYOUT
         seg = DeepLabV3(num_classes=num_classes, backbone_layout=TINY_LAYOUT,

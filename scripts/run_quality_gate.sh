@@ -63,4 +63,7 @@ arm ladder --render-arm ladder
 arm enc8x4 --enc 8x4
 # combined row-count levers: only meaningful if both individually pass
 arm enc4x8ladder --enc 4x8 --render-arm ladder
+# stratified face-sampled forward: the middle rung between exact (8 rows)
+# and ladder (1 row) — 4 rows at strictly lower estimator variance
+arm face16x2 --render-arm face
 echo "[gate] all arms attempted; reports in $ROOT/experiments/report_*.json"
