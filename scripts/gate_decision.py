@@ -29,8 +29,21 @@ THROUGHPUT = {
     "cl_replay_on_enc8x4": 21_642,
     "cl_replay_on_enc4x8": 31_921,
     "cl_replay_on_ladder": 26_300,
-    # combined lever measured by the round-4 chain (bench_enc_sfwd.json)
+    # levers measured by the round-4 chains (bench_enc_sfwd.json /
+    # bench_face.json); filled from --throughput-json when present
     "cl_replay_on_ladder_enc4x8": None,
+    "cl_replay_on_face": None,
+    "cl_replay_on_face_enc4x8": None,
+}
+
+# bench_encoding_variants.py result tag -> gate arm name
+_BENCH_TAG_TO_ARM = {
+    "enc_4x8_sfwd": "cl_replay_on_ladder_enc4x8",
+    "enc_4x8_sfwd_full": "cl_replay_on_ladder_enc4x8",
+    "enc_16x2_sfwd": "cl_replay_on_ladder",
+    "enc_16x2_sfwd_full": "cl_replay_on_ladder",
+    "enc_16x2_sfwd_face": "cl_replay_on_face",
+    "enc_4x8_sfwd_face": "cl_replay_on_face_enc4x8",
 }
 
 
@@ -39,21 +52,22 @@ def main():
     ap.add_argument("roots")
     ap.add_argument("--threshold", type=float, default=0.5,
                     help="max allowed mean paired regression, in mIoU points")
-    ap.add_argument("--throughput-json", default="/tmp/bench_enc_sfwd.json",
-                    help="optional extra measured throughputs "
+    ap.add_argument("--throughput-json",
+                    default="/tmp/bench_enc_sfwd.json,/tmp/bench_face.json",
+                    help="comma-separated optional measured throughputs "
                          "{tag: {rays_per_sec}} from bench_encoding_variants")
     a = ap.parse_args()
     roots = a.roots.split(",")
 
     tp = dict(THROUGHPUT)
-    if os.path.exists(a.throughput_json):
-        with open(a.throughput_json) as f:
+    for path in a.throughput_json.split(","):
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
             extra = json.load(f)
-        if "enc_4x8_sfwd" in extra:
-            tp["cl_replay_on_ladder_enc4x8"] = extra["enc_4x8_sfwd"][
-                "rays_per_sec"]
-        if "enc_16x2_sfwd" in extra:
-            tp["cl_replay_on_ladder"] = extra["enc_16x2_sfwd"]["rays_per_sec"]
+        for tag, arm in _BENCH_TAG_TO_ARM.items():
+            if tag in extra:
+                tp[arm] = extra[tag]["rays_per_sec"]
 
     # per-root arm rows
     per_seed = []  # [{arm: row}]
