@@ -129,10 +129,12 @@ def main():
 
     # headline encoding geometry follows the SHIPPED config (BENCH_ENC /
     # BENCH_SFWD to override, e.g. "16x2" for the reference geometry;
-    # sfwd = fully stochastic-forward encoding, the accel-ladder knob)
+    # BENCH_SFWD: "1" = fully stochastic forward (the accel-ladder knob),
+    # "face" = stratified face-sampled forward)
     enc = os.environ.get("BENCH_ENC", "16x2")
     enc_L, enc_F = (int(x) for x in enc.split("x"))
-    sfwd = os.environ.get("BENCH_SFWD", "0") == "1"
+    sfwd = {"0": False, "1": True, "face": "face"}[
+        os.environ.get("BENCH_SFWD", "0")]
     model = SemanticNeRF(bound=4.0, num_semantic_classes=40,
                          n_levels=enc_L, n_features=enc_F,
                          stochastic_fwd=sfwd)
