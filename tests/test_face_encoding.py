@@ -133,3 +133,80 @@ def test_trainer_step_with_face_mode(rng):
                                                  occ_grid=grid)
         losses.append(float(parts["loss_nerf_total"]))
     assert all(np.isfinite(losses))
+
+
+def test_packed_face_hybrid_forward(rng):
+    """hash_encode_packed_face: coarse (packed) levels exact, fine levels
+    face-sampled — unbiased vs the exact encode, exact when every level is
+    packed, and the trainer dispatches it under the default train packing."""
+    from ucsa_neural_rendering_tpu.models.hash_encoding import (
+        hash_encode_hybrid_face_train)
+    from ucsa_neural_rendering_tpu.models.packed_table import (
+        build_packed_table, choose_n_packed, hash_encode_packed,
+        hash_encode_packed_face)
+
+    spec = make_spec(n_levels=4, n_features=2, base_resolution=4,
+                     per_level_scale=2.0, log2_hashmap_size=10)
+    table = jnp.asarray(rng.normal(size=(spec.table_size, 2))
+                        .astype(np.float32))
+    n = 20000
+    x = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+
+    # k = 2 of 4 levels packable at a 512-cell budget (res 4, 8; not 16, 32)
+    k = choose_n_packed(spec, 512)
+    assert 0 < k < spec.n_levels
+    packed = build_packed_table(table, spec, k, dtype=jnp.float32)
+    exact = np.asarray(hash_encode(table, x, spec,
+                                   compute_dtype=jnp.float32))
+    face = np.asarray(hash_encode_packed_face(table, packed, x, spec,
+                                              compute_dtype=jnp.float32))
+    f = spec.n_features
+    # packed prefix is EXACT per point (bit-level up to blend order)
+    np.testing.assert_allclose(face[:, :k * f], exact[:, :k * f],
+                               rtol=1e-5, atol=1e-5)
+    # fine suffix is unbiased with bounded per-point deviation
+    assert abs((face[:, k * f:] - exact[:, k * f:]).mean()) < 5e-3
+
+    # all-levels-packed degenerates to the exact packed encode
+    pk_all = build_packed_table(table, spec, spec.n_levels,
+                                dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(hash_encode_packed_face(table, pk_all, x, spec,
+                                           compute_dtype=jnp.float32)),
+        np.asarray(hash_encode_packed(table, pk_all, x, spec,
+                                      compute_dtype=jnp.float32)),
+        rtol=1e-6, atol=1e-6)
+
+    # custom-VJP wrapper: backward is the single-corner estimator — total
+    # gradient mass of sum(out) is exactly one row per (point, level)
+    gt = jax.grad(lambda t: jnp.sum(
+        hash_encode_hybrid_face_train(t, packed, x, spec)
+        .astype(jnp.float32)))(table)
+    assert abs(float(jnp.sum(gt)) - n * spec.n_levels * f) < 4.0
+
+
+def test_trainer_step_face_with_packing(rng):
+    """stochastic_fwd="face" + train packing dispatches the packed face
+    hybrid and trains finitely."""
+    H, W = 12, 16
+    model = SemanticNeRF(bound=1.0, num_semantic_classes=5, n_levels=4,
+                         log2_hashmap_size=12, stochastic_fwd="face")
+    cfg = RenderConfig(num_steps=8, upsample_steps=8, occ_candidates=16,
+                       train_packed_max_entries=512)
+    tr = NeRFTrainer(model, cfg, lr=1e-2, n_rays=64, image_hw=(H, W))
+    params, opt_state = tr.init(jax.random.key(0))
+    grid = tr.init_occupancy()
+    batch = {
+        "pose": jnp.eye(4),
+        "intrinsics": jnp.array([20.0, 20.0, W / 2, H / 2]),
+        "image": jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32)),
+        "label": jnp.zeros((H, W), jnp.int32),
+        "depth": jnp.ones((H, W), jnp.float32) * 2.0,
+        "one_m_to_scene_uom": jnp.float32(1.0),
+    }
+    key = jax.random.key(1)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        params, opt_state, parts = tr.train_step(params, opt_state, batch, k,
+                                                 occ_grid=grid)
+        assert np.isfinite(float(parts["loss_nerf_total"]))

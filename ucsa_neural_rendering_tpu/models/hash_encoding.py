@@ -678,6 +678,39 @@ def _heht_bwd(spec, aux, g):
 hash_encode_hybrid_train.defvjp(_heht_fwd, _heht_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def hash_encode_hybrid_face_train(table, packed, x01, spec: HashGridSpec):
+    """Face-hybrid training encode (`stochastic_fwd="face"` with a packed
+    table): packed (coarse) levels read EXACTLY via one cell row each; fine
+    levels use the stratified face forward (one sampled axis bit, exact
+    bilinear face blend — 4 rows/level, half of exact at strictly less
+    noise than the single-corner ladder). Backward is the same unbiased
+    single-corner scatter the incumbent packed path trains with
+    (hash_encode_stochastic_grad), so the ONLY change vs the shipped
+    default is the fine-level forward: 8 exact rows -> 4 face rows."""
+    from .packed_table import hash_encode_packed_face
+    return hash_encode_packed_face(table, packed, x01, spec)
+
+
+def _hehft_fwd(table, packed, x01, spec):
+    from .packed_table import hash_encode_packed_face
+    out = hash_encode_packed_face(table, packed, x01, spec)
+    aux = (jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), packed), x01)
+    return out, aux
+
+
+def _hehft_bwd(spec, aux, g):
+    packed_shape, x01 = aux
+    grad_table, grad_x = _hesg_bwd(spec, x01, g)
+    zero_packed = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), packed_shape)
+    return grad_table, zero_packed, grad_x
+
+
+hash_encode_hybrid_face_train.defvjp(_hehft_fwd, _hehft_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def hash_encode_packed_train(table, packed, x01, spec: HashGridSpec,
                              stochastic: bool):
@@ -744,8 +777,12 @@ class HashGridEncoding(nn.Module):
             return hash_encode_hybrid_train(table, packed, x01, self.spec)
         if train and self.stochastic_fwd == "face":
             # stratified half-stochastic forward: one sampled axis bit,
-            # exact bilinear face blend (4 rows; see
-            # hash_encode_stochastic_face)
+            # exact bilinear face blend (4 fine rows). With a packed table,
+            # coarse levels stay exact one-row reads (the incumbent's
+            # layout) and only the fine forward changes.
+            if packed is not None:
+                return hash_encode_hybrid_face_train(table, packed, x01,
+                                                     self.spec)
             return hash_encode_stochastic_face(table, x01, self.spec)
         if packed is not None and not (train and self.stochastic_fwd):
             # cell-packed lookups (see models/packed_table.py): one row per

@@ -229,6 +229,65 @@ def hash_encode_packed_probe(table: jnp.ndarray, packed: PackedTable,
     return jnp.concatenate([coarse, fine], axis=1).reshape(n, spec.out_dim)
 
 
+def hash_encode_packed_face(table: jnp.ndarray, packed: PackedTable,
+                            x01: jnp.ndarray, spec: HashGridSpec,
+                            compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Face-hybrid training forward: packed (coarse) levels use the exact
+    one-row cell lookup; unpacked (fine) levels sample ONE axis bit and
+    blend the resulting cell face exactly (4 rows/level — see
+    hash_encoding.hash_encode_face_sampled). The stratified middle rung
+    between hash_encode_packed (8 fine rows, exact) and
+    hash_encode_packed_probe (1 fine row, single-corner): exact coarse
+    structure, half the fine reads, strictly less fine-feature noise than
+    the single-corner ladder."""
+    n = x01.shape[0]
+    k = packed.n_packed
+    if k == 0:
+        from .hash_encoding import hash_encode_face_sampled
+        return hash_encode_face_sampled(table, x01, spec, compute_dtype)
+    if k == spec.n_levels:
+        return hash_encode_packed(table, packed, x01, spec, compute_dtype)
+
+    # packed prefix: exact one-row lookups (same math as hash_encode_packed)
+    offs, _ = packed_offsets(spec, k)
+    pos_f32 = x01.astype(jnp.float32)
+    idx_all, w_all = [], []
+    for i in range(k):
+        res = spec.resolutions[i]
+        pos = pos_f32 * res
+        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
+        frac = pos - cell.astype(jnp.float32)
+        idx_all.append(((cell[:, 2] * res + cell[:, 1]) * res + cell[:, 0])
+                       + offs[i])
+        w = jnp.ones((n, 8), jnp.float32)
+        for a in range(3):
+            fa = frac[:, a][:, None]
+            w = w * jnp.where(_CORNERS[None, :, a] == 1, fa, 1.0 - fa)
+        w_all.append(w)
+    rows = jnp.take(packed.data, jnp.stack(idx_all, 1).reshape(-1), axis=0)
+    rows = rows.reshape(n, k, 8, spec.n_features).astype(compute_dtype)
+    w = jnp.stack(w_all, 1)
+    coarse = jnp.sum(rows * w[..., None].astype(compute_dtype), axis=2)
+
+    # fine suffix: face-sampled — one gather op per level (the monolithic-
+    # gather degradation note in hash_encode_packed applies here too)
+    from .hash_encoding import _corner_uniform, _level_face_rows
+    u = _corner_uniform(x01, spec.n_levels)
+    tb = table.astype(compute_dtype)
+    fine = []
+    for lvl in range(k, spec.n_levels):
+        idx, fw = _level_face_rows(x01, spec.resolutions[lvl],
+                                   spec.sizes[lvl], spec.hashed[lvl],
+                                   u[:, lvl])
+        frows = jnp.take(tb, (idx + spec.offsets[lvl]).reshape(-1),
+                         axis=0).reshape(n, 4, spec.n_features)
+        fine.append(jnp.sum(
+            frows * fw[..., None].astype(compute_dtype), axis=1))
+
+    return jnp.concatenate([coarse] + [f[:, None, :] for f in fine],
+                           axis=1).reshape(n, spec.out_dim)
+
+
 class PackedTableCache:
     """Identity-keyed cache of render-time packed tables for one model.
 
