@@ -53,7 +53,8 @@ def main():
     ap.add_argument("--threshold", type=float, default=0.5,
                     help="max allowed mean paired regression, in mIoU points")
     ap.add_argument("--throughput-json",
-                    default="/tmp/bench_enc_sfwd.json,/tmp/bench_face.json",
+                    default="/tmp/bench_enc_sfwd.json,/tmp/bench_face.json,"
+                "/tmp/bench_face_hybrid.json",
                     help="comma-separated optional measured throughputs "
                          "{tag: {rays_per_sec}} from bench_encoding_variants")
     a = ap.parse_args()
