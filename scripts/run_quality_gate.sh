@@ -34,6 +34,9 @@ export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 run() { # run <tag> <args...>
   local tag=$1; shift
   if [ -f "$LOG/$tag.ok" ]; then echo "[gate] skip $tag (done)"; return 0; fi
+  # /tmp/gate.stop halts a long chain between phases (e.g. to free the
+  # chip for the driver's round-end bench) without killing a live stage
+  if [ -f /tmp/gate.stop ]; then echo "[gate] stop sentinel — exiting"; exit 3; fi
   echo "[gate] $(date +%H:%M:%S) start $tag"
   if timeout 3600 python scripts/exp_synthetic_cl.py $COMMON "$@" \
        > "$LOG/$tag.log" 2>&1; then
