@@ -130,11 +130,16 @@ def main():
     # headline encoding geometry follows the SHIPPED config (BENCH_ENC /
     # BENCH_SFWD to override, e.g. "16x2" for the reference geometry;
     # BENCH_SFWD: "1" = fully stochastic forward (the accel-ladder knob),
-    # "face" = stratified face-sampled forward)
+    # "fine" = stochastic fine levels only, "face" = stratified
+    # face-sampled forward)
     enc = os.environ.get("BENCH_ENC", "16x2")
     enc_L, enc_F = (int(x) for x in enc.split("x"))
-    sfwd = {"0": False, "1": True, "face": "face"}[
-        os.environ.get("BENCH_SFWD", "0")]
+    _sfwd_modes = {"0": False, "1": True, "fine": "fine", "face": "face"}
+    _sfwd_env = os.environ.get("BENCH_SFWD", "0")
+    if _sfwd_env not in _sfwd_modes:
+        raise SystemExit(f"BENCH_SFWD={_sfwd_env!r}: expected one of "
+                         f"{sorted(_sfwd_modes)}")
+    sfwd = _sfwd_modes[_sfwd_env]
     model = SemanticNeRF(bound=4.0, num_semantic_classes=40,
                          n_levels=enc_L, n_features=enc_F,
                          stochastic_fwd=sfwd)

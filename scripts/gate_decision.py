@@ -107,7 +107,10 @@ def main():
             "passes_gate": passes,
         })
     out.sort(key=lambda r: -(r["rays_per_sec"] or 0))
-    passing = [r for r in out if r["passes_gate"] and r["rays_per_sec"]]
+    # promotion additionally requires being FASTER than the incumbent —
+    # a quality-passing but slower arm must never replace the default
+    passing = [r for r in out if r["passes_gate"] and r["rays_per_sec"]
+               and r["rays_per_sec"] > tp[INCUMBENT]]
     decision = {
         "incumbent": INCUMBENT,
         "incumbent_rays_per_sec": tp[INCUMBENT],

@@ -22,9 +22,11 @@ import os
 import re
 import sys
 
-ROOTS = (sys.argv[1] if len(sys.argv) > 1 else "/tmp/ucsa_gate").split(",")
-DEAD = set((sys.argv[2].split(",") if len(sys.argv) > 2 else
-            ["scene0001_00"]))  # pretrain transfer ~0 (see gate notes)
+# pretrain transfer ~0 (see gate notes). Importers (gate_decision.py) get
+# this default; CLI overrides are parsed in main() — NEVER at import time
+# (an importer's own argv, e.g. `gate_decision.py roots --threshold 0.5`,
+# would otherwise poison the dead-scene filter with its flag strings).
+DEAD = frozenset(["scene0001_00"])
 
 
 def last_metric(path, key):
@@ -40,19 +42,22 @@ def last_metric(path, key):
     return val
 
 
-def arm_row(root, rp):
+def arm_row(root, rp, dead=DEAD):
     with open(rp) as f:
         rep = json.load(f)
     arm = rep["arm"]
     scenes = rep["scenes"]
     mat = rep["val_mIoU"]
     n = len(scenes)
-    live = [s for s in scenes if s not in DEAD]
+    live = [s for s in scenes if s not in dead]
     news_live = [mat[f"stage_{i}"][scenes[i]] for i in range(n)
                  if scenes[i] in live and f"stage_{i}" in mat]
     last = mat.get(f"stage_{n - 1}", {})
-    olds_live = [last[s] for s in live[:-1] if s in last
-                 and s != scenes[n - 1]]
+    # old scenes = every live scene except the NEWEST (scenes[n-1]); the
+    # newest is excluded by name, not by slicing live[:-1], which would
+    # wrongly drop the last live OLD scene whenever scenes[n-1] is dead
+    olds_live = [last[s] for s in live
+                 if s != scenes[n - 1] and s in last]
     nerf = []
     for i in range(n):
         mj = os.path.join(root, "experiments", arm, f"stage_{i}",
@@ -71,11 +76,15 @@ def arm_row(root, rp):
 
 
 def main():
+    roots = (sys.argv[1] if len(sys.argv) > 1 else "/tmp/ucsa_gate") \
+        .split(",")
+    dead = (frozenset(sys.argv[2].split(",")) if len(sys.argv) > 2
+            else DEAD)
     by_arm = {}
-    for root in ROOTS:
+    for root in roots:
         for rp in sorted(glob.glob(os.path.join(root, "experiments",
                                                 "report_*.json"))):
-            row = arm_row(root, rp)
+            row = arm_row(root, rp, dead)
             by_arm.setdefault(row["arm"], []).append(row)
     rows = []
     for arm, reps in by_arm.items():

@@ -22,7 +22,7 @@ SCENES=${SCENES:-3}
 SEED=${SEED:-123}
 # ARMS: space-separated subset to run (seed replicates re-run only the
 # decision-relevant arms; paired comparison = same seed, same data)
-ARMS=${ARMS:-accel16x2 enc4x8 dense ladder enc8x4 enc4x8ladder}
+ARMS=${ARMS:-accel16x2 enc4x8 dense ladder enc8x4 enc4x8ladder face16x2}
 COMMON="--root $ROOT --scenes $SCENES --hw 120x160 --frames 8 --seg-tiny \
         --nerf-epochs 10 --joint-epochs 5 --seed $SEED"
 mkdir -p "$LOG"
@@ -43,7 +43,8 @@ run() { # run <tag> <args...>
     touch "$LOG/$tag.ok"
     echo "[gate] $(date +%H:%M:%S) done  $tag"
   else
-    echo "[gate] $(date +%H:%M:%S) FAIL  $tag (rc=$?) — see $LOG/$tag.log"
+    local rc=$?   # capture BEFORE $(date) resets $? in the echo below
+    echo "[gate] $(date +%H:%M:%S) FAIL  $tag (rc=$rc) — see $LOG/$tag.log"
     return 1
   fi
 }

@@ -184,6 +184,25 @@ def test_packed_face_hybrid_forward(rng):
         .astype(jnp.float32)))(table)
     assert abs(float(jnp.sum(gt)) - n * spec.n_levels * f) < 4.0
 
+    # support containment on the FINE (face-sampled) levels: the backward
+    # draw must stay WITHIN the forward's face (regression for the biased
+    # _hesg_bwd pairing, whose trilinear-CDF draw consumes the same salt-0
+    # uniform as the face choice and lands on the OPPOSITE side of the
+    # sampled axis for small u — rows the forward never read). Few points,
+    # so their face rows don't blanket the hashed levels and the check has
+    # teeth (64 pts x 4 rows < the 1024-row fine levels).
+    xs = x[:64]
+    gts = jax.grad(lambda t: jnp.sum(
+        hash_encode_hybrid_face_train(t, packed, xs, spec)
+        .astype(jnp.float32)))(table)
+    face_idx, _ = sampled_face_rows(xs, spec)           # [N, L, 4] global
+    fine_read = np.unique(np.asarray(face_idx[:, k:, :]).reshape(-1))
+    lo = int(spec.offsets[k])
+    fine_written = (np.nonzero(np.abs(np.asarray(gts[lo:]).sum(-1)) > 0)[0]
+                    + lo)
+    assert len(fine_written) > 32          # the check isn't vacuous
+    assert np.isin(fine_written, fine_read).all()
+
 
 def test_trainer_step_face_with_packing(rng):
     """stochastic_fwd="face" + train packing dispatches the packed face

@@ -85,6 +85,12 @@ _ENTRY_CONSUMED = {
         "lr_scheduler.poly_cfg.max_epochs", "lr_scheduler.poly_cfg.power",
         "lr_scheduler.poly_cfg.target_lr",
         "parity.double_softmax",
+        # TPU nerf-model block (joint_loop.train builds SemanticNeRF from
+        # it; joint_trainer reads use_occupancy / fused_image_step)
+        "nerf.bound", "nerf.n_levels", "nerf.n_features",
+        "nerf.log2_hashmap_size", "nerf.stochastic_table_grad",
+        "nerf.stochastic_fwd", "nerf.n_rays", "nerf.use_occupancy",
+        "nerf.fused_image_step",
     },
     "finetune": {
         "scenes",
@@ -107,9 +113,12 @@ _ENTRY_CONSUMED = {
 }
 
 # TPU-extension blocks validated by their own loaders: `renderer.*` by
-# joint_loop.render_cfgs_from_exp (unknown-field warning there), `nerf.*`
-# by joint_loop.train's SemanticNeRF construction
-_VALIDATED_ELSEWHERE = ("renderer.", "nerf.")
+# joint_loop.render_cfgs_from_exp (unknown-field warning there). `nerf.*`
+# is NOT prefix-exempt: joint_loop/joint_trainer read it with bare .get()
+# calls, so unknown nerf keys would be accepted and silently ignored —
+# the exact failure mode this module exists to warn about. The consumed
+# set is enumerated in _ENTRY_CONSUMED["joint"] below.
+_VALIDATED_ELSEWHERE = ("renderer.",)
 
 # entry-irrelevant but consumed by a sibling entry (e.g. `optimizer.lr`
 # inside a joint config): no warning — reference configs share one schema

@@ -684,9 +684,16 @@ def hash_encode_hybrid_face_train(table, packed, x01, spec: HashGridSpec):
     table): packed (coarse) levels read EXACTLY via one cell row each; fine
     levels use the stratified face forward (one sampled axis bit, exact
     bilinear face blend — 4 rows/level, half of exact at strictly less
-    noise than the single-corner ladder). Backward is the same unbiased
-    single-corner scatter the incumbent packed path trains with
-    (hash_encode_stochastic_grad), so the ONLY change vs the shipped
+    noise than the single-corner ladder). Backward is the face-consistent
+    single-corner scatter (_hesface_bwd): the sampled-axis bit recomputes
+    from the forward's own draw, so fine-level gradients only ever land on
+    rows the forward read. Pairing the face forward with the trilinear-CDF
+    draw (_hesg_bwd) instead would be BIASED — both consume the same salt-0
+    uniform, and small u picks the HIGH face forward but the all-low corner
+    backward, anti-correlating the scatter target with the cotangent. (On
+    the exact coarse levels any single-corner draw is unbiased; the face
+    draw's corner distribution equals the trilinear weights there.) Still
+    1 scatter row per (point, level); the only change vs the shipped
     default is the fine-level forward: 8 exact rows -> 4 face rows."""
     from .packed_table import hash_encode_packed_face
     return hash_encode_packed_face(table, packed, x01, spec)
@@ -702,7 +709,7 @@ def _hehft_fwd(table, packed, x01, spec):
 
 def _hehft_bwd(spec, aux, g):
     packed_shape, x01 = aux
-    grad_table, grad_x = _hesg_bwd(spec, x01, g)
+    grad_table, grad_x = _hesface_bwd(spec, x01, g)
     zero_packed = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), packed_shape)
     return grad_table, zero_packed, grad_x

@@ -180,6 +180,39 @@ def hash_encode_packed(table: jnp.ndarray, packed: PackedTable,
     return jnp.concatenate(feats, axis=1)
 
 
+def _packed_coarse(packed: PackedTable, x01: jnp.ndarray,
+                   spec: HashGridSpec, k: int, compute_dtype):
+    """Exact one-row cell lookups for the k packed (coarse) levels, as ONE
+    fused gather over all k levels (the per-POINT row count here is k —
+    fine at train-step scale; the render path hash_encode_packed instead
+    gathers per level, the measured layout for multi-M-row frames).
+    Same trilinear math as hash_encode_packed. Returns [n, k, F]."""
+    n = x01.shape[0]
+    offs, _ = packed_offsets(spec, k)
+    pos_f32 = x01.astype(jnp.float32)
+    idx_all, w_all = [], []
+    for i in range(k):
+        res = spec.resolutions[i]
+        pos = pos_f32 * res
+        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
+        # frac relative to the (clipped) cell: at the x01 == 1.0 edge the
+        # cell clamps to res-1 and frac becomes 1.0, selecting the far
+        # corners — the same vertices the unpacked path's index clamp
+        # (min(cidx, res)) lands on.
+        frac = pos - cell.astype(jnp.float32)
+        idx_all.append(((cell[:, 2] * res + cell[:, 1]) * res + cell[:, 0])
+                       + offs[i])
+        w = jnp.ones((n, 8), jnp.float32)
+        for a in range(3):
+            fa = frac[:, a][:, None]
+            w = w * jnp.where(_CORNERS[None, :, a] == 1, fa, 1.0 - fa)
+        w_all.append(w)
+    rows = jnp.take(packed.data, jnp.stack(idx_all, 1).reshape(-1), axis=0)
+    rows = rows.reshape(n, k, 8, spec.n_features).astype(compute_dtype)
+    w = jnp.stack(w_all, 1)
+    return jnp.sum(rows * w[..., None].astype(compute_dtype), axis=2)
+
+
 def hash_encode_packed_probe(table: jnp.ndarray, packed: PackedTable,
                              x01: jnp.ndarray, spec: HashGridSpec,
                              compute_dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -198,26 +231,7 @@ def hash_encode_packed_probe(table: jnp.ndarray, packed: PackedTable,
     if k == spec.n_levels:
         return hash_encode_packed(table, packed, x01, spec, compute_dtype)
 
-    # packed prefix: exact one-row lookups (same math as hash_encode_packed)
-    offs, _ = packed_offsets(spec, k)
-    pos_f32 = x01.astype(jnp.float32)
-    idx_all, w_all = [], []
-    for i in range(k):
-        res = spec.resolutions[i]
-        pos = pos_f32 * res
-        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
-        frac = pos - cell.astype(jnp.float32)
-        idx_all.append(((cell[:, 2] * res + cell[:, 1]) * res + cell[:, 0])
-                       + offs[i])
-        w = jnp.ones((n, 8), jnp.float32)
-        for a in range(3):
-            fa = frac[:, a][:, None]
-            w = w * jnp.where(_CORNERS[None, :, a] == 1, fa, 1.0 - fa)
-        w_all.append(w)
-    rows = jnp.take(packed.data, jnp.stack(idx_all, 1).reshape(-1), axis=0)
-    rows = rows.reshape(n, k, 8, spec.n_features).astype(compute_dtype)
-    w = jnp.stack(w_all, 1)
-    coarse = jnp.sum(rows * w[..., None].astype(compute_dtype), axis=2)
+    coarse = _packed_coarse(packed, x01, spec, k, compute_dtype)
 
     # fine suffix: single sampled corner per (point, level), chosen
     # arithmetically (no take_along_axis — that is itself a gather)
@@ -248,26 +262,7 @@ def hash_encode_packed_face(table: jnp.ndarray, packed: PackedTable,
     if k == spec.n_levels:
         return hash_encode_packed(table, packed, x01, spec, compute_dtype)
 
-    # packed prefix: exact one-row lookups (same math as hash_encode_packed)
-    offs, _ = packed_offsets(spec, k)
-    pos_f32 = x01.astype(jnp.float32)
-    idx_all, w_all = [], []
-    for i in range(k):
-        res = spec.resolutions[i]
-        pos = pos_f32 * res
-        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
-        frac = pos - cell.astype(jnp.float32)
-        idx_all.append(((cell[:, 2] * res + cell[:, 1]) * res + cell[:, 0])
-                       + offs[i])
-        w = jnp.ones((n, 8), jnp.float32)
-        for a in range(3):
-            fa = frac[:, a][:, None]
-            w = w * jnp.where(_CORNERS[None, :, a] == 1, fa, 1.0 - fa)
-        w_all.append(w)
-    rows = jnp.take(packed.data, jnp.stack(idx_all, 1).reshape(-1), axis=0)
-    rows = rows.reshape(n, k, 8, spec.n_features).astype(compute_dtype)
-    w = jnp.stack(w_all, 1)
-    coarse = jnp.sum(rows * w[..., None].astype(compute_dtype), axis=2)
+    coarse = _packed_coarse(packed, x01, spec, k, compute_dtype)
 
     # fine suffix: face-sampled — one gather op per level (the monolithic-
     # gather degradation note in hash_encode_packed applies here too)

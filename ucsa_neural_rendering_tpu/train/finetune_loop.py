@@ -137,6 +137,9 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
             start_epoch = int(tree["epoch"])
             print(f"[finetune] resumed from {rdir} at epoch {start_epoch}",
                   flush=True)
+        else:
+            print(f"[finetune] resume requested but no checkpoint at "
+                  f"{rdir}; starting fresh", flush=True)
 
     # validate → test → fit → test (ref train_finetune.py:115-118); the
     # 25k generalization test runs when the split file exists on disk.

@@ -386,13 +386,19 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     if "nerf" in exp and "nerf_model" not in trainer_kwargs:
         from ..models import SemanticNeRF
         n = exp["nerf"]
+        sfwd = n.get("stochastic_fwd", False)
+        if sfwd not in (False, True, "fine", "face"):
+            raise ValueError(
+                f"nerf.stochastic_fwd={sfwd!r}: expected false, true, "
+                f"'fine', or 'face' (models/semantic_nerf.py)")
         trainer_kwargs["nerf_model"] = SemanticNeRF(
             bound=float(n.get("bound", 4.0)),
             num_semantic_classes=num_classes,
             n_levels=int(n.get("n_levels", 16)),
             n_features=int(n.get("n_features", 2)),
             log2_hashmap_size=int(n.get("log2_hashmap_size", 19)),
-            stochastic_table_grad=bool(n.get("stochastic_table_grad", True)))
+            stochastic_table_grad=bool(n.get("stochastic_table_grad", True)),
+            stochastic_fwd=sfwd)
         if "n_rays" in n:
             trainer_kwargs.setdefault("n_rays", int(n["n_rays"]))
     if "mesh" not in trainer_kwargs and jax.device_count() > 1:
