@@ -145,3 +145,30 @@ def test_pretrain_check_val_cadence(tmp_path):
             if "val/mean_IoU" in d:
                 val_steps.append(d.get("step"))
     assert val_steps == [1]  # only epoch index 1 (2nd epoch) ran val
+
+
+def test_nerf_model_from_exp_plumbing():
+    """The `nerf:` YAML block fully parameterizes the SemanticNeRF — every
+    documented opt-in (encoding geometry, stochastic_fwd) reaches the model,
+    and a typo'd stochastic_fwd fails loudly instead of silently training a
+    different estimator."""
+    from ucsa_neural_rendering_tpu.train.joint_loop import nerf_model_from_exp
+
+    exp = {"nerf": {"bound": 2.0, "n_levels": 4, "n_features": 8,
+                    "log2_hashmap_size": 15,
+                    "stochastic_table_grad": False,
+                    "stochastic_fwd": "face"}}
+    m = nerf_model_from_exp(exp, num_classes=13)
+    assert (m.bound, m.n_levels, m.n_features) == (2.0, 4, 8)
+    assert m.log2_hashmap_size == 15
+    assert m.stochastic_table_grad is False
+    assert m.stochastic_fwd == "face"
+    assert m.num_semantic_classes == 13
+
+    # defaults match the reference tcnn config (16 levels x F=2, 2^19)
+    d = nerf_model_from_exp({}, num_classes=40)
+    assert (d.n_levels, d.n_features, d.log2_hashmap_size) == (16, 2, 19)
+    assert d.stochastic_fwd is False
+
+    with pytest.raises(ValueError, match="stochastic_fwd"):
+        nerf_model_from_exp({"nerf": {"stochastic_fwd": "fase"}}, 40)

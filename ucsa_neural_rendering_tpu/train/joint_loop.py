@@ -92,6 +92,30 @@ def render_cfgs_from_exp(exp):
     return RenderConfig(**base), test_cfg, predict_cfg
 
 
+def nerf_model_from_exp(exp, num_classes):
+    """SemanticNeRF from the optional `nerf:` YAML block — the TPU
+    extension surface over the reference's fixed tcnn config
+    (network_tcnn_semantics.py:36-46). Consumed keys are enumerated in
+    config/key_audit.py (_ENTRY_CONSUMED['joint']); stochastic_fwd values
+    are validated here so a typo'd mode fails loudly instead of training
+    a different estimator than intended."""
+    from ..models import SemanticNeRF
+    n = exp.get("nerf", {})
+    sfwd = n.get("stochastic_fwd", False)
+    if sfwd not in (False, True, "fine", "face"):
+        raise ValueError(
+            f"nerf.stochastic_fwd={sfwd!r}: expected false, true, "
+            f"'fine', or 'face' (models/semantic_nerf.py)")
+    return SemanticNeRF(
+        bound=float(n.get("bound", 4.0)),
+        num_semantic_classes=num_classes,
+        n_levels=int(n.get("n_levels", 16)),
+        n_features=int(n.get("n_features", 2)),
+        log2_hashmap_size=int(n.get("log2_hashmap_size", 19)),
+        stochastic_table_grad=bool(n.get("stochastic_table_grad", True)),
+        stochastic_fwd=sfwd)
+
+
 def _stage_state_tree(done, nerf_state, seg_state, occ_grid, key, occ_step,
                       occ_slab):
     """Full mid-stage training state as one checkpoint tree: both models'
@@ -384,23 +408,9 @@ def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
     if predict_render_cfg is not None:
         trainer_kwargs.setdefault("predict_render_cfg", predict_render_cfg)
     if "nerf" in exp and "nerf_model" not in trainer_kwargs:
-        from ..models import SemanticNeRF
-        n = exp["nerf"]
-        sfwd = n.get("stochastic_fwd", False)
-        if sfwd not in (False, True, "fine", "face"):
-            raise ValueError(
-                f"nerf.stochastic_fwd={sfwd!r}: expected false, true, "
-                f"'fine', or 'face' (models/semantic_nerf.py)")
-        trainer_kwargs["nerf_model"] = SemanticNeRF(
-            bound=float(n.get("bound", 4.0)),
-            num_semantic_classes=num_classes,
-            n_levels=int(n.get("n_levels", 16)),
-            n_features=int(n.get("n_features", 2)),
-            log2_hashmap_size=int(n.get("log2_hashmap_size", 19)),
-            stochastic_table_grad=bool(n.get("stochastic_table_grad", True)),
-            stochastic_fwd=sfwd)
-        if "n_rays" in n:
-            trainer_kwargs.setdefault("n_rays", int(n["n_rays"]))
+        trainer_kwargs["nerf_model"] = nerf_model_from_exp(exp, num_classes)
+        if "n_rays" in exp["nerf"]:
+            trainer_kwargs.setdefault("n_rays", int(exp["nerf"]["n_rays"]))
     if "mesh" not in trainer_kwargs and jax.device_count() > 1:
         from ..parallel import get_mesh
         trainer_kwargs["mesh"] = get_mesh()
