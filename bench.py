@@ -152,6 +152,19 @@ def main():
 
     # --- dense reference-parity mode: 256+256, no occupancy ---
     extras = {}
+    # north-star ceiling arithmetic (VERDICT r4 #3): how close the measured
+    # headline sits to the gather-floor ceiling of ITS OWN config
+    # (scripts/northstar_ceiling.py; PERFORMANCE.md "North-star feasibility")
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        from northstar_ceiling import config_ceiling
+        ceil = config_ceiling(enc_L, enc_F, sfwd)
+        extras["headline_ceiling_rays_s"] = ceil["ceiling_rays_s"]
+        extras["headline_ceiling_frac"] = round(
+            accel_rays / ceil["ceiling_rays_s"], 3)
+    except Exception as e:  # ceiling accounting is additive, never fatal
+        extras["headline_ceiling_error"] = str(e)[:120]
     if os.environ.get("BENCH_SKIP_DENSE", "0") != "1":
         dense_cfg = RenderConfig(num_steps=256, upsample_steps=256,
                                  remat=remat)
