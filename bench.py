@@ -127,15 +127,18 @@ def main():
     remat = {"0": False, "1": True}.get(os.environ.get("BENCH_REMAT", ""),
                                         "auto")
 
-    # headline encoding geometry follows the SHIPPED config (BENCH_ENC /
-    # BENCH_SFWD to override, e.g. "16x2" for the reference geometry;
-    # BENCH_SFWD: "1" = fully stochastic forward (the accel-ladder knob),
-    # "fine" = stochastic fine levels only, "face" = stratified
-    # face-sampled forward)
-    enc = os.environ.get("BENCH_ENC", "16x2")
+    # headline encoding geometry follows the SHIPPED config (single source
+    # of truth: ucsa_neural_rendering_tpu/config/shipped.py — the quality
+    # gate's promotion target; BENCH_ENC / BENCH_SFWD override, e.g. "16x2"
+    # for the reference geometry; BENCH_SFWD: "1" = fully stochastic
+    # forward (the accel-ladder knob), "fine" = stochastic fine levels
+    # only, "face" = stratified face-sampled forward)
+    from ucsa_neural_rendering_tpu.config import (shipped_enc_str,
+                                                  shipped_sfwd_env)
+    enc = os.environ.get("BENCH_ENC", shipped_enc_str())
     enc_L, enc_F = (int(x) for x in enc.split("x"))
     _sfwd_modes = {"0": False, "1": True, "fine": "fine", "face": "face"}
-    _sfwd_env = os.environ.get("BENCH_SFWD", "0")
+    _sfwd_env = os.environ.get("BENCH_SFWD", shipped_sfwd_env())
     if _sfwd_env not in _sfwd_modes:
         raise SystemExit(f"BENCH_SFWD={_sfwd_env!r}: expected one of "
                          f"{sorted(_sfwd_modes)}")
