@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def fit_variant(n_levels, n_features, steps, H, W, n_rays=4096,
-                log2_size=19, train_packed=2 ** 21, sfwd=False):
+                log2_size=19, train_packed=2 ** 21, sfwd=False,
+                occ_steps=32):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -39,7 +40,8 @@ def fit_variant(n_levels, n_features, steps, H, W, n_rays=4096,
                          n_levels=n_levels, n_features=n_features,
                          log2_hashmap_size=log2_size,
                          stochastic_fwd=sfwd)
-    cfg = RenderConfig(num_steps=32, upsample_steps=32, occ_candidates=128,
+    cfg = RenderConfig(num_steps=occ_steps, upsample_steps=occ_steps,
+                       occ_candidates=128,
                        train_packed_max_entries=train_packed)
     tr = NeRFTrainer(model, cfg, lr=1e-2, n_rays=n_rays, image_hw=(H, W))
     params, opt_state = tr.init(jax.random.key(0))
@@ -157,6 +159,11 @@ def main():
                          "sampling (4 rows, exact bilinear face blend)")
     ap.add_argument("--enc", default="16x2,8x4,4x8",
                     help="comma-separated LxF variants to measure")
+    ap.add_argument("--occ-steps", type=int, default=32,
+                    help="occupancy-sampling budget per pass (the reduced-"
+                         "budget gate arms: 24/16; VERDICT r4 #2)")
+    ap.add_argument("--out", default=None,
+                    help="also write the results JSON to this path")
     args = ap.parse_args()
     # honor JAX_PLATFORMS=cpu via live config (the axon plugin's discovery
     # ignores the env var; PERFORMANCE.md round-3 environment notes)
@@ -170,8 +177,12 @@ def main():
                     for e in args.enc.split(",")]
         sfwd = {None: False, "full": True, "face": "face"}[args.sfwd]
         for (L, F) in variants:
-            r = fit_variant(L, F, args.steps, H, W, sfwd=sfwd)
-            tag = f"enc_{L}x{F}" + (f"_sfwd_{args.sfwd}" if args.sfwd else "")
+            r = fit_variant(L, F, args.steps, H, W, sfwd=sfwd,
+                            occ_steps=args.occ_steps)
+            tag = (f"enc_{L}x{F}"
+                   + (f"_sfwd_{args.sfwd}" if args.sfwd else "")
+                   + (f"_occ{args.occ_steps}" if args.occ_steps != 32
+                      else ""))
             results[tag] = r
             print(f"{tag}: {r}", flush=True)
     if not args.skip_fused:
@@ -181,6 +192,9 @@ def main():
             results[f"fused_{fused}_b{args.batch}"] = r
             print(f"fused={fused} b={args.batch}: {r}", flush=True)
     print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":

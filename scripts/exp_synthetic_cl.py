@@ -79,6 +79,11 @@ def parse_args():
                         "train knob, PERFORMANCE.md accel ladder), "
                         "'face' = accel + stratified face-sampled "
                         "forward (4 rows, exact bilinear face blend)")
+    p.add_argument("--occ-steps", type=int, default=32,
+                   help="occupancy-sampling budget per pass (coarse AND "
+                        "refine): 32 = the shipped 32+32 default; 24/16 = "
+                        "the reduced-budget gate arms (rows scale linearly "
+                        "with the budget; VERDICT r4 #2)")
     p.add_argument("--pretrain-epochs", type=int, default=30)
     p.add_argument("--pretrain-lr", type=float, default=1e-3,
                    help="the reference pretrains at 1e-4 for 150 epochs on "
@@ -109,6 +114,8 @@ def arm_name(a):
         base += f"_{a.render_arm}"
     if getattr(a, "enc", "16x2") != "16x2":
         base += f"_enc{a.enc}"
+    if getattr(a, "occ_steps", 32) != 32:
+        base += f"_occ{a.occ_steps}"
     return base
 
 
@@ -164,7 +171,8 @@ def render_cfg_for(a):
     if a.tiny:
         return RenderConfig(num_steps=24, upsample_steps=24,
                             max_ray_batch=h * w)
-    return RenderConfig(num_steps=32, upsample_steps=32)
+    s = getattr(a, "occ_steps", 32)
+    return RenderConfig(num_steps=s, upsample_steps=s)
 
 
 def phase_data(a):

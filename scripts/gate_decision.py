@@ -34,16 +34,24 @@ THROUGHPUT = {
     "cl_replay_on_ladder_enc4x8": None,
     "cl_replay_on_face": None,
     "cl_replay_on_face_enc4x8": None,
+    # round-5 composition arms (VERDICT r4 #2): filled from
+    # --throughput-json (gate_r5/bench_arm_*.json)
+    "cl_replay_on_face_enc8x4": None,
+    "cl_replay_on_enc8x4_occ24": None,
 }
 
 # bench_encoding_variants.py result tag -> gate arm name
 _BENCH_TAG_TO_ARM = {
+    "enc_16x2": "cl_replay_on",
+    "enc_8x4": "cl_replay_on_enc8x4",
     "enc_4x8_sfwd": "cl_replay_on_ladder_enc4x8",
     "enc_4x8_sfwd_full": "cl_replay_on_ladder_enc4x8",
     "enc_16x2_sfwd": "cl_replay_on_ladder",
     "enc_16x2_sfwd_full": "cl_replay_on_ladder",
     "enc_16x2_sfwd_face": "cl_replay_on_face",
     "enc_4x8_sfwd_face": "cl_replay_on_face_enc4x8",
+    "enc_8x4_sfwd_face": "cl_replay_on_face_enc8x4",
+    "enc_8x4_occ24": "cl_replay_on_enc8x4_occ24",
 }
 
 
@@ -54,7 +62,10 @@ def main():
                     help="max allowed mean paired regression, in mIoU points")
     ap.add_argument("--throughput-json",
                     default="/tmp/bench_enc_sfwd.json,/tmp/bench_face.json,"
-                "/tmp/bench_face_hybrid.json",
+                            "/tmp/bench_face_hybrid.json,"
+                            "/root/repo/gate_r5/bench_arm_base.json,"
+                            "/root/repo/gate_r5/bench_arm_face.json,"
+                            "/root/repo/gate_r5/bench_arm_occ.json",
                     help="comma-separated optional measured throughputs "
                          "{tag: {rays_per_sec}} from bench_encoding_variants")
     a = ap.parse_args()
