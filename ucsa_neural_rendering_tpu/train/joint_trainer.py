@@ -137,6 +137,15 @@ class JointTrainer:
         # deliberate, documented numerics divergence; see _nerf_update_fused)
         self.fused_image_step = bool(exp.get("nerf", {}).get(
             "fused_image_step", False))
+        # dispatch coalescing (round-5 wall-clock work, VERDICT r4 #5):
+        # run joint_step as ONE jitted program instead of 5 dispatches
+        # (render / pseudo-label / nerf updates / augment / seg update) —
+        # ~35 ms/dispatch on this host's tunnel, so 4 saved dispatches per
+        # batch. Same ops in the same order with the same key stream; only
+        # XLA's fusion boundaries move. Escape hatch: false restores the
+        # separate-dispatch path.
+        self.fused_joint_step = bool(exp.get("nerf", {}).get(
+            "fused_joint_step", True))
 
         self.occ_cfg = OccupancyConfig()
         # reference-parity knob: the reference applies CE to SOFTMAX outputs
@@ -168,6 +177,10 @@ class JointTrainer:
         self._augment_rendered = jax.jit(self._augment_rendered_impl)
         self._update_grid = jax.jit(self._update_grid_impl,
                                     donate_argnums=(1,))
+        self._joint_step_fused = jax.jit(self._joint_step_fused_impl,
+                                         donate_argnums=(0, 1))
+        self._nerf_fit_epoch = jax.jit(self._nerf_fit_epoch_impl,
+                                       donate_argnums=(0,))
         from ..models.packed_table import PackedTableCache
         self._packed_cache = PackedTableCache(self.nerf_model)
 
@@ -519,12 +532,173 @@ class JointTrainer:
             batch["intrinsics"], batch["one_m_to_scene_uom"], key, occ_grid)
         return nerf_state, dict(parts)
 
+    # ----------------------------------------------- phase-1 epoch coalescing
+    def seg_pseudo_labels(self, seg_state, images, chunk=8):
+        """Pseudo-labels for a stack of images, chunked to bound memory.
+        seg_state is FROZEN during the phase-1 NeRF fit (eval-mode forward,
+        no BN update — ref training_step_nerf :477-479), so the per-epoch
+        per-image pseudo-label recomputation of the step loop is redundant
+        work: computing them once up front is mathematically identical and
+        drops E*N seg forwards to ceil(N/chunk) dispatches per stage."""
+        images = jnp.asarray(images)
+        n = images.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.repeat(images[:1], pad, 0)], 0)
+        preds = []
+        for s in range(0, n + pad, chunk):
+            pred, _, _ = self.seg_infer(seg_state, images[s:s + chunk],
+                                        update_bn=False)
+            preds.append(pred)
+        return jnp.concatenate(preds, 0)[:n]
+
+    def _nerf_fit_epoch_impl(self, nerf_state, imgs, pseudo, depths, poses,
+                             intrs, uoms, order, key, occ_step, slab,
+                             occ_grid):
+        """One phase-1 epoch as ONE dispatch: lax.scan over the epoch's
+        shuffled image indices with the occupancy refresh folded in as a
+        lax.cond at its host cadence (VERDICT r4 #5 — the step loop paid
+        ~2 dispatches x ~35 ms tunnel latency per image). The key stream
+        replicates the host loop exactly (split per image; an extra split
+        only on refresh steps), so the trajectory matches the per-step
+        path bit-for-bit up to XLA fusion boundaries."""
+
+        def body(carry, i):
+            state, grid, key, step, slab = carry
+            key, k = jax.random.split(key)
+            if self.fused_image_step:
+                state, parts = self._nerf_update_fused_impl(
+                    state, imgs[i][None], pseudo[i][None], depths[i][None],
+                    poses[i][None], intrs[i][None], uoms[i][None], k, grid)
+            else:
+                # _nerf_update_all with b=1: keys = split(k, 1)
+                kimg = jax.random.split(k, 1)[0]
+                state, parts = self._nerf_update_image_impl(
+                    state, imgs[i], pseudo[i], depths[i], poses[i], intrs[i],
+                    uoms[i], kimg, grid)
+            step = step + 1
+            if grid is not None:
+                def refresh(args):
+                    key, grid, slab = args
+                    key, k2 = jax.random.split(key)
+                    s = slab % self.occ_cfg.refresh_slabs
+                    grid = self._update_grid_impl(state[0], grid, k2, s)
+                    return key, grid, s + 1
+
+                key, grid, slab = jax.lax.cond(
+                    step % self.occ_cfg.update_every == 0,
+                    refresh, lambda a: a, (key, grid, slab))
+            return (state, grid, key, step, slab), parts
+
+        (nerf_state, occ_grid, key, occ_step, slab), parts = jax.lax.scan(
+            body, (nerf_state, occ_grid, key, occ_step, slab), order)
+        parts = jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0), parts)
+        return nerf_state, occ_grid, key, occ_step, slab, parts
+
+    def nerf_fit_epoch(self, nerf_state, buffers, order, key, occ_step,
+                       occ_grid=None):
+        """Run one phase-1 epoch over device-resident buffers (from
+        joint_loop._resident_fit_buffers) in a single dispatch. Returns
+        (nerf_state, occ_grid, key, occ_step, epoch-mean loss parts);
+        syncs the trainer's rotating occupancy-slab counter."""
+        slab = jnp.int32(getattr(self, "_occ_slab", 0))
+        (nerf_state, occ_grid, key, occ_step, slab, parts) = \
+            self._nerf_fit_epoch(
+                nerf_state, buffers["img"], buffers["pseudo"],
+                buffers["depth"], buffers["pose"], buffers["intrinsics"],
+                buffers["one_m_to_scene_uom"], jnp.asarray(order),
+                key, jnp.int32(occ_step), slab, occ_grid)
+        if occ_grid is not None:
+            self._occ_slab = int(slab)
+        return nerf_state, occ_grid, key, int(occ_step), dict(parts)
+
+    def _joint_step_fused_impl(self, nerf_state, seg_state, new, old_img,
+                               old_label, cl_img, cl_label, key, occ_grid,
+                               packed_test):
+        """joint_step's five dispatches (render / pseudo-label / per-image
+        NeRF updates / augment / seg update) traced as ONE program
+        (VERDICT r4 #5: ~35 ms tunnel latency per dispatch on this host).
+        Same ops, same order, same key stream as the separate-dispatch
+        path below — only XLA's fusion boundaries move. `new` is the
+        array-only slice of batch_new; jit re-traces per batch composition
+        (None vs array args), exactly like the separate paths recompile
+        per composition today."""
+        logs = {}
+        rendered = None
+        if new is not None:
+            rendered = self._render_frames_impl(
+                nerf_state[0], new["pose"], new["intrinsics"][0], occ_grid,
+                packed_test, cfg=self.test_cfg)
+            if not self.fix_nerf:
+                b = new["img"].shape[0]
+                params, stats, opt = seg_state
+                pseudo, _, stats = self._seg_infer_impl(
+                    params, stats, new["img"], update_bn=b > 1)
+                seg_state = (params, stats, opt)
+                key, k = jax.random.split(key)
+                if self.fused_image_step:
+                    nerf_state, parts = self._nerf_update_fused_impl(
+                        nerf_state, new["img"], pseudo, new["depth"],
+                        new["pose"], new["intrinsics"],
+                        new["one_m_to_scene_uom"], k, occ_grid)
+                else:
+                    keys = jax.random.split(k, b)
+                    nerf_state, parts = self._nerf_update_batch_impl(
+                        nerf_state, new["img"], pseudo, new["depth"],
+                        new["pose"], new["intrinsics"],
+                        new["one_m_to_scene_uom"], keys, occ_grid)
+                logs.update(parts)
+
+        imgs, labels = [], []
+        if rendered is not None:
+            key, k = jax.random.split(key)
+            aug_rgb, aug_label = self._augment_rendered_impl(
+                k, rendered["nerf_rgb"], rendered["nerf_semantics"])
+            imgs.append(aug_rgb)
+            labels.append(aug_label)
+        if old_img is not None:
+            imgs.append(old_img)
+            labels.append(old_label)
+        if cl_img is not None:
+            imgs.append(cl_img.reshape(-1, *cl_img.shape[2:]))
+            labels.append(cl_label.reshape(-1, *cl_label.shape[2:]))
+
+        rgb_seg = jnp.concatenate(imgs, 0)
+        label_seg = jnp.concatenate(labels, 0)
+        key, k = jax.random.split(key)
+        seg_state, seg_loss = self._seg_update_impl(seg_state, rgb_seg,
+                                                    label_seg, k)
+        logs["loss_seg"] = seg_loss
+        return nerf_state, seg_state, logs
+
     def joint_step(self, nerf_state, seg_state, batch_old, batch_new,
                    batch_cl, key, occ_grid=None):
         """Phase-2 step (ref training_step_joint :363-471).
 
-        Returns (nerf_state, seg_state, logs).
-        """
+        Returns (nerf_state, seg_state, logs). Default path: one fused
+        dispatch (`nerf.fused_joint_step: false` restores the separate
+        dispatches)."""
+        if self.fused_joint_step:
+            new = None
+            packed = None
+            if batch_new is not None:
+                new = {k: jnp.asarray(batch_new[k])
+                       for k in ("img", "depth", "pose", "intrinsics",
+                                 "one_m_to_scene_uom")}
+                packed = self.packed_for(nerf_state[0], self.test_cfg)
+            old_img = old_label = cl_img = cl_label = None
+            if batch_old is not None:
+                old_img = jnp.asarray(batch_old["img"])
+                old_label = jnp.asarray(batch_old["nerf_label"])
+            if batch_cl is not None:
+                cl_img = jnp.asarray(batch_cl["replay_img"])
+                cl_label = jnp.asarray(batch_cl["replay_label"])
+            nerf_state, seg_state, logs = self._joint_step_fused(
+                nerf_state, seg_state, new, old_img, old_label, cl_img,
+                cl_label, key, occ_grid, packed)
+            return nerf_state, seg_state, dict(logs)
+
         logs = {}
         rendered = None
         if batch_new is not None:
