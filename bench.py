@@ -272,6 +272,25 @@ def main():
                    + n_frames * predict_s)
             extras["stage_seconds_est"] = round(est, 1)
 
+    # measured stage wall-clock (VERDICT r4 #5): scripts/bench_pipeline.py
+    # --out pipeline_bench.json records the real fresh-process stage on this
+    # chip (orchestration + host IO + every phase); surfaced here with its
+    # config + date so the driver's BENCH file carries the trend. The
+    # composed stage_seconds_est above deliberately models device work only.
+    pipe_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "pipeline_bench.json")
+    if os.path.exists(pipe_path):
+        try:
+            with open(pipe_path) as f:
+                pipe = json.load(f)
+            extras["stage_seconds_measured"] = pipe.get("stage_seconds_warm")
+            extras["stage_seconds_measured_cold"] = pipe.get(
+                "stage_seconds_cold")
+            extras["stage_measured_meta"] = {
+                "date": pipe.get("measured_date"), **pipe.get("config", {})}
+        except Exception as e:
+            extras["stage_measured_error"] = str(e)[:120]
+
     print(json.dumps({
         "metric": "nerf_fit_rays_per_sec_per_chip",
         "value": round(accel_rays, 1),

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def fit_variant(n_levels, n_features, steps, H, W, n_rays=4096,
                 log2_size=19, train_packed=2 ** 21, sfwd=False,
-                occ_steps=32):
+                occ_steps=32, proposal_total=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,9 +40,19 @@ def fit_variant(n_levels, n_features, steps, H, W, n_rays=4096,
                          n_levels=n_levels, n_features=n_features,
                          log2_hashmap_size=log2_size,
                          stochastic_fwd=sfwd)
-    cfg = RenderConfig(num_steps=occ_steps, upsample_steps=occ_steps,
-                       occ_candidates=128,
-                       train_packed_max_entries=train_packed)
+    if proposal_total:
+        # proposal placement (ops/renderer.py proposal_placement): the
+        # TOTAL budget split 3:1 between the grid-CDF draw and a small
+        # importance refine (matches exp_synthetic_cl's proposal arm;
+        # proposal-only measured to lose label sharpness)
+        cfg = RenderConfig(num_steps=max(1, proposal_total * 3 // 4),
+                           upsample_steps=proposal_total // 4,
+                           occ_candidates=128, proposal_placement=True,
+                           train_packed_max_entries=train_packed)
+    else:
+        cfg = RenderConfig(num_steps=occ_steps, upsample_steps=occ_steps,
+                           occ_candidates=128,
+                           train_packed_max_entries=train_packed)
     tr = NeRFTrainer(model, cfg, lr=1e-2, n_rays=n_rays, image_hw=(H, W))
     params, opt_state = tr.init(jax.random.key(0))
     grid = tr.init_occupancy()
@@ -162,6 +172,11 @@ def main():
     ap.add_argument("--occ-steps", type=int, default=32,
                     help="occupancy-sampling budget per pass (the reduced-"
                          "budget gate arms: 24/16; VERDICT r4 #2)")
+    ap.add_argument("--proposal-total", type=int, default=None,
+                    help="proposal-placement arm (VERDICT r4 #4): TOTAL "
+                         "sample budget, split 3:1 between the grid-CDF "
+                         "draw and a small importance refine "
+                         "(proposal_placement=true); overrides --occ-steps")
     ap.add_argument("--out", default=None,
                     help="also write the results JSON to this path")
     args = ap.parse_args()
@@ -178,11 +193,13 @@ def main():
         sfwd = {None: False, "full": True, "face": "face"}[args.sfwd]
         for (L, F) in variants:
             r = fit_variant(L, F, args.steps, H, W, sfwd=sfwd,
-                            occ_steps=args.occ_steps)
+                            occ_steps=args.occ_steps,
+                            proposal_total=args.proposal_total)
             tag = (f"enc_{L}x{F}"
                    + (f"_sfwd_{args.sfwd}" if args.sfwd else "")
-                   + (f"_occ{args.occ_steps}" if args.occ_steps != 32
-                      else ""))
+                   + (f"_prop{args.proposal_total}" if args.proposal_total
+                      else (f"_occ{args.occ_steps}"
+                            if args.occ_steps != 32 else "")))
             results[tag] = r
             print(f"{tag}: {r}", flush=True)
     if not args.skip_fused:

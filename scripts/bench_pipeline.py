@@ -31,13 +31,25 @@ def main():
     ap.add_argument("--nerf-epochs", type=int, default=2)
     ap.add_argument("--joint-epochs", type=int, default=2)
     ap.add_argument("--hw", type=int, nargs=2, default=(240, 320))
+    ap.add_argument("--no-coalesce", action="store_true",
+                    help="disable the scanned phase-1 epochs and the fused "
+                         "joint step (the round-5 dispatch coalescing) to "
+                         "isolate their contribution in an A/B")
+    ap.add_argument("--out", default=None,
+                    help="write {stage_seconds_cold, stage_seconds_warm, "
+                         "config} JSON here; bench.py surfaces "
+                         "pipeline_bench.json at the repo root as "
+                         "stage_seconds_measured")
     args = ap.parse_args()
 
     import argparse as _a
+    import json
 
+    from ucsa_neural_rendering_tpu.config import (SHIPPED_NERF_ENC,
+                                                  SHIPPED_NERF_SFWD,
+                                                  SHIPPED_TRAIN_BUDGET)
     from ucsa_neural_rendering_tpu.data.synthetic import \
         write_synthetic_scene_dir
-    from ucsa_neural_rendering_tpu.models import SemanticNeRF
     from ucsa_neural_rendering_tpu.train import joint_loop
 
     H, W = args.hw
@@ -68,6 +80,17 @@ def main():
         "cl": {"active": False, "use_novel_viewpoints": False,
                "replay_buffer_size": 0},
         "output_size": (H, W),
+        # the SHIPPED program (config/shipped.py): before round 5 this
+        # bench ran the unconfigured RenderConfig() 256+256 budget, so
+        # r2/r3 numbers (481-560 s) are NOT comparable to these
+        "renderer": {"num_steps": SHIPPED_TRAIN_BUDGET[0],
+                     "upsample_steps": SHIPPED_TRAIN_BUDGET[1]},
+        "nerf": {"use_occupancy": True, "bound": 1.0,
+                 "n_levels": SHIPPED_NERF_ENC[0],
+                 "n_features": SHIPPED_NERF_ENC[1],
+                 "stochastic_fwd": SHIPPED_NERF_SFWD,
+                 "scan_epoch_fit": not args.no_coalesce,
+                 "fused_joint_step": not args.no_coalesce},
     }
     run_args = _a.Namespace(exp_name="pipe", seed=0, fix_nerf=False,
                             nerf_train_epoch=args.nerf_epochs,
@@ -78,17 +101,15 @@ def main():
     # wait (the axon grant can take minutes to transfer after the previous
     # process exits); the second is the clean warm number to compare across
     # rounds.
+    totals = {}
     for rep in range(int(os.environ.get("PIPE_REPS", "2"))):
         t0 = time.time()
-        joint_loop.train(
-            exp, env, run_args, val_scene_list=["scene0000_00"],
-            trainer_kwargs={
-                # full-size NeRF at the fixture's scene scale (bound 1)
-                "nerf_model": SemanticNeRF(bound=1.0,
-                                           num_semantic_classes=40),
-            })
+        # the nerf block above builds the shipped full-size NeRF at the
+        # fixture's scene scale (bound 1) via nerf_model_from_exp
+        joint_loop.train(exp, env, run_args, val_scene_list=["scene0000_00"])
         total = time.time() - t0
         tag = "warm" if rep else "cold"
+        totals[tag] = round(total, 1)
         print(f"\njoint stage total ({tag}): {total:.1f} s "
               f"({args.nerf_epochs} NeRF epochs x {args.frames} frames + "
               f"{args.joint_epochs} joint epochs + test + predict, "
@@ -102,6 +123,22 @@ def main():
             import jax
             gc.collect()
             jax.clear_caches()
+    if args.out:
+        L, F = SHIPPED_NERF_ENC
+        with open(args.out, "w") as f:
+            json.dump({
+                "stage_seconds_cold": totals.get("cold"),
+                "stage_seconds_warm": totals.get("warm"),
+                "measured_date": time.strftime("%Y-%m-%d"),
+                "config": {
+                    "frames": args.frames, "hw": [H, W],
+                    "nerf_epochs": args.nerf_epochs,
+                    "joint_epochs": args.joint_epochs,
+                    "enc": f"{L}x{F}", "sfwd": str(SHIPPED_NERF_SFWD),
+                    "train_budget": list(SHIPPED_TRAIN_BUDGET),
+                    "coalesced": not args.no_coalesce,
+                },
+            }, f, indent=2)
     shutil.rmtree(root, ignore_errors=True)
 
 

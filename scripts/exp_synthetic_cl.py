@@ -68,7 +68,7 @@ def parse_args():
                         "8x4, 4x8 — the row-count lever measured by "
                         "scripts/bench_encoding_variants.py")
     p.add_argument("--render-arm",
-                   choices=["accel", "dense", "ladder", "face"],
+                   choices=["accel", "dense", "ladder", "face", "proposal"],
                    default="accel",
                    help="render/train configuration arm for the quality "
                         "gate (round-4 verdict #1): 'accel' = occupancy "
@@ -78,7 +78,10 @@ def parse_args():
                         "stochastic-forward encoding (the 26k rays/s "
                         "train knob, PERFORMANCE.md accel ladder), "
                         "'face' = accel + stratified face-sampled "
-                        "forward (4 rows, exact bilinear face blend)")
+                        "forward (4 rows, exact bilinear face blend), "
+                        "'proposal' = grid-density proposal placement of "
+                        "--occ-steps TOTAL samples in one draw, one "
+                        "full-model pass (VERDICT r4 #4)")
     p.add_argument("--occ-steps", type=int, default=32,
                    help="occupancy-sampling budget per pass (coarse AND "
                         "refine): 32 = the shipped 32+32 default; 24/16 = "
@@ -168,6 +171,19 @@ def render_cfg_for(a):
             return RenderConfig(num_steps=64, upsample_steps=64,
                                 max_ray_batch=h * w)
         return RenderConfig(num_steps=256, upsample_steps=256)
+    if getattr(a, "render_arm", "accel") == "proposal":
+        # --occ-steps is the TOTAL budget here, split 3:1 between the
+        # grid-CDF proposal placement and a small importance refine —
+        # measured (tests/test_proposal_placement.py A/B): proposal-only
+        # keeps PSNR but loses label sharpness; a small fine pass restores
+        # it at a fraction of the incumbent's 32+32 row count
+        if a.tiny:
+            return RenderConfig(num_steps=18, upsample_steps=6,
+                                proposal_placement=True, max_ray_batch=h * w)
+        total = getattr(a, "occ_steps", 32)
+        return RenderConfig(num_steps=max(1, total * 3 // 4),
+                            upsample_steps=total // 4,
+                            proposal_placement=True)
     if a.tiny:
         return RenderConfig(num_steps=24, upsample_steps=24,
                             max_ray_batch=h * w)

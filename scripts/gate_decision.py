@@ -38,6 +38,10 @@ THROUGHPUT = {
     # --throughput-json (gate_r5/bench_arm_*.json)
     "cl_replay_on_face_enc8x4": None,
     "cl_replay_on_enc8x4_occ24": None,
+    # round-5 proposal-placement arm (VERDICT r4 #4): grid-density
+    # placement of 32 TOTAL samples, one full-model pass, on the 8x4
+    # encoding; filled from gate_r5/bench_arm_prop.json
+    "cl_replay_on_proposal_enc8x4": None,
 }
 
 # bench_encoding_variants.py result tag -> gate arm name
@@ -52,6 +56,7 @@ _BENCH_TAG_TO_ARM = {
     "enc_4x8_sfwd_face": "cl_replay_on_face_enc4x8",
     "enc_8x4_sfwd_face": "cl_replay_on_face_enc8x4",
     "enc_8x4_occ24": "cl_replay_on_enc8x4_occ24",
+    "enc_8x4_prop32": "cl_replay_on_proposal_enc8x4",
 }
 
 
@@ -65,7 +70,8 @@ def main():
                             "/tmp/bench_face_hybrid.json,"
                             "/root/repo/gate_r5/bench_arm_base.json,"
                             "/root/repo/gate_r5/bench_arm_face.json,"
-                            "/root/repo/gate_r5/bench_arm_occ.json",
+                            "/root/repo/gate_r5/bench_arm_occ.json,"
+                            "/root/repo/gate_r5/bench_arm_prop.json",
                     help="comma-separated optional measured throughputs "
                          "{tag: {rays_per_sec}} from bench_encoding_variants")
     a = ap.parse_args()

@@ -109,11 +109,22 @@ def occupancy_at(grid: jnp.ndarray, xyz: jnp.ndarray, bound: float,
                  floor: float = 0.01,
                  density_threshold: float = 0.01) -> jnp.ndarray:
     """Occupancy weights in [floor, 1] for points xyz [..., 3]."""
+    sigma = density_at(grid, xyz, bound)
+    occ = sigma > density_threshold
+    return jnp.where(occ, 1.0, floor)
+
+
+def density_at(grid: jnp.ndarray, xyz: jnp.ndarray, bound: float
+               ) -> jnp.ndarray:
+    """Raw EMA density at points xyz [..., 3] (nearest cell).
+
+    The proposal-placement density source (RenderConfig.proposal_placement):
+    the grid doubles as a zero-hash-row proposal field — one arithmetic
+    index + one gather per point on the dense RES^3 table, vs the ~8
+    hash-table rows per point per level a NeRF density eval costs."""
     r = grid.shape[0]
     cell = jnp.clip(((xyz + bound) / (2.0 * bound) * r).astype(jnp.int32),
                     0, r - 1)
     flat = (cell[..., 0] * r + cell[..., 1]) * r + cell[..., 2]
-    sigma = jnp.take(grid.reshape(-1), flat.reshape(-1),
-                     axis=0).reshape(flat.shape)
-    occ = sigma > density_threshold
-    return jnp.where(occ, 1.0, floor)
+    return jnp.take(grid.reshape(-1), flat.reshape(-1),
+                    axis=0).reshape(flat.shape)

@@ -86,6 +86,19 @@ class RenderConfig:
     # mode (placement is already importance-driven).
     probe_placement: bool = False
     num_probe: int = 16
+    # proposal placement (VERDICT r4 #4; requires an occupancy grid):
+    # coarse samples are drawn from the grid's EMA-density ALPHAS
+    # (graded, 1-exp(-sigma*dz)) instead of the binary {floor,1} occupancy
+    # weights — zero extra cost (same candidate gathers), but placement
+    # now concentrates at surfaces the way a NeRF-evaluated proposal
+    # would (mip-NeRF 360's proposal-sampling shape with the grid as the
+    # free proposal model). That lets the fine importance pass SHRINK
+    # (e.g. 24 proposal-placed + 8 fine vs the shipped 32+32): the fine
+    # pass's remaining job is only sub-grid-cell localization. Measured
+    # (tests/test_proposal_placement.py A/B): proposal-only (no fine
+    # pass) keeps PSNR but loses label sharpness — keep a small
+    # upsample_steps. Without a grid the flag is ignored.
+    proposal_placement: bool = False
     # TRAIN-step packing: rebuild a small cell-packed prefix (levels within
     # this budget) inside every train step and gather the forward through it
     # (backward still writes the raw table via the custom VJP —
@@ -252,12 +265,31 @@ def render_rays(model: SemanticNeRF, variables: Any, rays_o: jnp.ndarray,
         # depths by grid occupancy and draw the sample budget from that CDF
         # (static-shape replacement for occupancy-grid ray marching; see
         # ops/occupancy.py)
-        from .occupancy import occupancy_at
+        from .occupancy import density_at, occupancy_at
         n_cand = cfg.occ_candidates
         cand_z = stratified_samples(nears, fars, n_cand, None)
         cand_xyz = rays_o[:, None, :] + rays_d[:, None, :] * cand_z[..., None]
-        w_occ = occupancy_at(occ_grid, cand_xyz, bound,
-                             cfg.occ_floor, cfg.occ_density_threshold)
+        if cfg.proposal_placement:
+            # proposal placement: graded per-candidate local opacity from
+            # the grid's EMA density instead of the binary {floor, 1}
+            # occupancy weights. At the all-ones warmup grid every alpha
+            # ties -> uniform-over-volume placement (same as the binary
+            # path's optimistic init); converged empty cells fall to the
+            # floor trickle; occupied cells place in proportion to
+            # 1-exp(-sigma*dz). Local alpha (not transmittance-weighted)
+            # so warmup has no near-camera bias; compositing handles
+            # occlusion exactly. This upgrades the coarse placement enough
+            # that the fine importance pass can SHRINK (upsample_steps
+            # 32 -> 8-16) or vanish — the row-count lever; placement finer
+            # than a grid cell still needs a small fine pass (measured:
+            # proposal-only keeps PSNR but costs label sharpness).
+            sigma_c = density_at(occ_grid, cand_xyz, bound)
+            dz = ((fars - nears) / n_cand)[:, None]
+            alpha = 1.0 - jnp.exp(-sigma_c * dz * cfg.density_scale)
+            w_occ = jnp.maximum(alpha, cfg.occ_floor)
+        else:
+            w_occ = occupancy_at(occ_grid, cand_xyz, bound,
+                                 cfg.occ_floor, cfg.occ_density_threshold)
         z_mid_cand = 0.5 * (cand_z[..., 1:] + cand_z[..., :-1])
         z_vals = sample_pdf(z_mid_cand, w_occ[..., 1:-1], cfg.num_steps,
                             k_coarse)

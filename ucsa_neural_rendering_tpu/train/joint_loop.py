@@ -99,9 +99,13 @@ def nerf_model_from_exp(exp, num_classes):
     config/key_audit.py (_ENTRY_CONSUMED['joint']); stochastic_fwd values
     are validated here so a typo'd mode fails loudly instead of training
     a different estimator than intended."""
+    from ..config import SHIPPED_NERF_ENC, SHIPPED_NERF_SFWD
     from ..models import SemanticNeRF
     n = exp.get("nerf", {})
-    sfwd = n.get("stochastic_fwd", False)
+    # defaults follow the SHIPPED configuration (config/shipped.py — the
+    # quality gate's promotion target), so an exp without explicit nerf
+    # keys trains the same program bench.py measures and entry() compiles
+    sfwd = n.get("stochastic_fwd", SHIPPED_NERF_SFWD)
     if sfwd not in (False, True, "fine", "face"):
         raise ValueError(
             f"nerf.stochastic_fwd={sfwd!r}: expected false, true, "
@@ -109,8 +113,8 @@ def nerf_model_from_exp(exp, num_classes):
     return SemanticNeRF(
         bound=float(n.get("bound", 4.0)),
         num_semantic_classes=num_classes,
-        n_levels=int(n.get("n_levels", 16)),
-        n_features=int(n.get("n_features", 2)),
+        n_levels=int(n.get("n_levels", SHIPPED_NERF_ENC[0])),
+        n_features=int(n.get("n_features", SHIPPED_NERF_ENC[1])),
         log2_hashmap_size=int(n.get("log2_hashmap_size", 19)),
         stochastic_table_grad=bool(n.get("stochastic_table_grad", True)),
         stochastic_fwd=sfwd)

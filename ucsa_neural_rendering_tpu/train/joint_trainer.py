@@ -82,10 +82,13 @@ class JointTrainer:
             self.test_cfg = test_render_cfg
         elif self.use_occupancy:
             from dataclasses import replace
+            # derived cfgs keep the standard early-stop render program even
+            # when TRAINING uses proposal placement (renderer:
+            # test_proposal_placement can opt test renders in explicitly)
             self.test_cfg = replace(
                 self.cfg, early_stop=True,
                 stage1_steps=max(1, min(16, self.cfg.num_steps // 2)),
-                refine_fraction=0.25)
+                refine_fraction=0.25, proposal_placement=False)
         else:
             self.test_cfg = self.cfg
 
