@@ -133,7 +133,9 @@ def main():
     # for the reference geometry; BENCH_SFWD: "1" = fully stochastic
     # forward (the accel-ladder knob), "fine" = stochastic fine levels
     # only, "face" = stratified face-sampled forward)
-    from ucsa_neural_rendering_tpu.config import (shipped_enc_str,
+    from ucsa_neural_rendering_tpu.config import (SHIPPED_PROPOSAL,
+                                                  SHIPPED_TRAIN_BUDGET,
+                                                  shipped_enc_str,
                                                   shipped_sfwd_env)
     enc = os.environ.get("BENCH_ENC", shipped_enc_str())
     enc_L, enc_F = (int(x) for x in enc.split("x"))
@@ -147,8 +149,16 @@ def main():
                          n_levels=enc_L, n_features=enc_F,
                          stochastic_fwd=sfwd)
 
-    # --- accelerated mode (the headline): occupancy 32+32 ---
-    accel_cfg = RenderConfig(num_steps=32, upsample_steps=32,
+    # --- accelerated mode (the headline): the SHIPPED train budget +
+    # placement (config/shipped.py; BENCH_BUDGET "32+32" / BENCH_PROP "0|1"
+    # override for A/Bs) ---
+    _budget_env = os.environ.get(
+        "BENCH_BUDGET", "%d+%d" % SHIPPED_TRAIN_BUDGET)
+    n_coarse, n_fine = (int(x) for x in _budget_env.split("+"))
+    proposal = {None: SHIPPED_PROPOSAL, "0": False, "1": True}[
+        os.environ.get("BENCH_PROP")]
+    accel_cfg = RenderConfig(num_steps=n_coarse, upsample_steps=n_fine,
+                             proposal_placement=proposal,
                              occ_candidates=128, remat=remat)
     accel_rays, accel_gbps, tr, params, grid, batch = _measure_fit(
         model, accel_cfg, n_rays, steps, True, H, W)
@@ -162,7 +172,8 @@ def main():
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "scripts"))
         from northstar_ceiling import config_ceiling
-        ceil = config_ceiling(enc_L, enc_F, sfwd)
+        ceil = config_ceiling(enc_L, enc_F, sfwd,
+                              samples=n_coarse + n_fine)
         extras["headline_ceiling_rays_s"] = ceil["ceiling_rays_s"]
         extras["headline_ceiling_frac"] = round(
             accel_rays / ceil["ceiling_rays_s"], 3)
@@ -296,7 +307,8 @@ def main():
         "value": round(accel_rays, 1),
         "unit": "rays/s",
         "headline_config": {"enc": enc, "sfwd": sfwd,
-                            "sampling": "occ32+32"},
+                            "sampling": ("prop" if proposal else "occ")
+                                        + f"{n_coarse}+{n_fine}"},
         "vs_baseline": round(accel_rays / BASELINE_RAYS_PER_SEC, 3),
         "baseline_rays_per_sec": BASELINE_RAYS_PER_SEC,
         "baseline_source": BASELINE_SOURCE,

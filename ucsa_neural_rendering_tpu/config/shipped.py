@@ -23,6 +23,11 @@ SHIPPED_NERF_SFWD = False
 # train-time sample budget (occupancy-guided coarse + importance)
 SHIPPED_TRAIN_BUDGET = (32, 32)
 
+# coarse placement: False = binary occupancy weights, True = graded
+# grid-density proposal placement (ops/renderer.py proposal_placement —
+# lets the fine budget shrink; see the round-5 gate decision)
+SHIPPED_PROPOSAL = False
+
 
 def shipped_enc_str() -> str:
     return f"{SHIPPED_NERF_ENC[0]}x{SHIPPED_NERF_ENC[1]}"
