@@ -165,10 +165,16 @@ def test_nerf_model_from_exp_plumbing():
     assert m.stochastic_fwd == "face"
     assert m.num_semantic_classes == 13
 
-    # defaults match the reference tcnn config (16 levels x F=2, 2^19)
+    # defaults follow the SHIPPED configuration (config/shipped.py — the
+    # quality gate's promotion target), so an exp without explicit nerf
+    # keys trains the program bench.py measures; table size stays the
+    # reference's 2^19 (network_tcnn_semantics.py:36-46)
+    from ucsa_neural_rendering_tpu.config import (SHIPPED_NERF_ENC,
+                                                  SHIPPED_NERF_SFWD)
     d = nerf_model_from_exp({}, num_classes=40)
-    assert (d.n_levels, d.n_features, d.log2_hashmap_size) == (16, 2, 19)
-    assert d.stochastic_fwd is False
+    assert (d.n_levels, d.n_features) == SHIPPED_NERF_ENC
+    assert d.log2_hashmap_size == 19
+    assert d.stochastic_fwd == SHIPPED_NERF_SFWD
 
     with pytest.raises(ValueError, match="stochastic_fwd"):
         nerf_model_from_exp({"nerf": {"stochastic_fwd": "fase"}}, 40)
