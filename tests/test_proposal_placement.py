@@ -146,10 +146,13 @@ def test_proposal_fit_quality():
 
 def test_joint_trainer_derived_cfgs_keep_standard_render():
     """Training with proposal placement must NOT silently change the
-    test/predict render program (JointTrainer derives them with
-    proposal_placement=False; explicit test_* keys can opt in)."""
+    test/predict render program: derived cfgs drop the proposal flag AND
+    scale from the symmetric TOTAL-equivalent budget (24+8 train ->
+    32+32 test -> 16+16 predict), so the train-side budget shrink never
+    leaks into the full-frame label dumps that replay stability rides
+    on. Explicit test_*/predict_* keys can still opt in to anything."""
     from ucsa_neural_rendering_tpu.train.joint_trainer import JointTrainer
-    cfg = RenderConfig(num_steps=16, upsample_steps=0,
+    cfg = RenderConfig(num_steps=24, upsample_steps=8,
                        proposal_placement=True, max_ray_batch=H * W)
     tr = JointTrainer({"optimizer": {"lr_seg": 1e-4, "lr_nerf": 1e-2,
                                      "name": "Adam"}},
@@ -158,3 +161,22 @@ def test_joint_trainer_derived_cfgs_keep_standard_render():
     assert tr.cfg.proposal_placement
     assert not tr.test_cfg.proposal_placement
     assert not tr.predict_cfg.proposal_placement
+    # symmetric TOTAL-equivalent derivation: exactly the programs a
+    # 32+32 incumbent training derives
+    assert (tr.test_cfg.num_steps, tr.test_cfg.upsample_steps) == (32, 32)
+    assert tr.test_cfg.early_stop and tr.test_cfg.stage1_steps == 16
+    assert (tr.predict_cfg.num_steps,
+            tr.predict_cfg.upsample_steps) == (16, 16)
+    assert tr.predict_cfg.stage1_steps == 8
+
+    # the incumbent's own derivation is unchanged
+    inc = JointTrainer({"optimizer": {"lr_seg": 1e-4, "lr_nerf": 1e-2,
+                                      "name": "Adam"}},
+                       image_hw=(H, W), num_classes=6,
+                       render_cfg=RenderConfig(num_steps=32,
+                                               upsample_steps=32,
+                                               max_ray_batch=H * W),
+                       n_rays=64, nerf_model=tiny_model())
+    assert (inc.test_cfg.num_steps, inc.test_cfg.upsample_steps) == (32, 32)
+    assert (inc.predict_cfg.num_steps,
+            inc.predict_cfg.upsample_steps) == (16, 16)

@@ -84,10 +84,25 @@ class JointTrainer:
             from dataclasses import replace
             # derived cfgs keep the standard early-stop render program even
             # when TRAINING uses proposal placement (renderer:
-            # test_proposal_placement can opt test renders in explicitly)
+            # test_proposal_placement can opt test renders in explicitly).
+            # Under proposal placement the train budget is deliberately
+            # ASYMMETRIC and small (e.g. 24+8 — placement quality lets the
+            # fine pass shrink for gradient steps); full-frame test/predict
+            # label dumps must NOT inherit that shrink (replay/pseudo-label
+            # sharpness is what old-scene stability rides on), so they
+            # derive from the symmetric TOTAL-equivalent budget: 24+8 train
+            # -> 32+32 test -> es8->16+16 predict, exactly the programs the
+            # incumbent 32+32 training derives.
+            if self.cfg.proposal_placement:
+                total = self.cfg.num_steps + self.cfg.upsample_steps
+                base = replace(self.cfg, num_steps=total,
+                               upsample_steps=total,
+                               proposal_placement=False)
+            else:
+                base = self.cfg
             self.test_cfg = replace(
-                self.cfg, early_stop=True,
-                stage1_steps=max(1, min(16, self.cfg.num_steps // 2)),
+                base, early_stop=True,
+                stage1_steps=max(1, min(16, base.num_steps // 2)),
                 refine_fraction=0.25, proposal_placement=False)
         else:
             self.test_cfg = self.cfg
@@ -116,8 +131,8 @@ class JointTrainer:
             self.predict_cfg = replace(
                 self.test_cfg, early_stop=True,
                 stage1_steps=max(1, self.test_cfg.stage1_steps // 2),
-                num_steps=max(1, self.cfg.num_steps // 2),
-                upsample_steps=max(1, self.cfg.upsample_steps // 2),
+                num_steps=max(1, self.test_cfg.num_steps // 2),
+                upsample_steps=max(1, self.test_cfg.upsample_steps // 2),
                 refine_fraction=0.125)
         else:
             self.predict_cfg = self.test_cfg
