@@ -139,10 +139,15 @@ def test_joint_step_logs_mean_nerf_loss_over_images(fixture_env):
     batch's images, not overwritten by the last image (the reference logs
     each image's loss; the epoch mean of per-image means is equivalent).
     The scanned batch update must also match B sequential per-image Adam
-    steps bit-for-bit (it IS the reference loop, minus host roundtrips)."""
+    steps bit-for-bit (it IS the reference loop, minus host roundtrips).
+    The stub-based log check drives the UNFUSED joint_step (the fused
+    single-dispatch default is covered by test_dispatch_coalescing.py's
+    equivalence tests; stubbing Python methods can't observe a fused
+    program)."""
     import jax
 
     exp = make_exp()
+    exp.setdefault("nerf", {})["fused_joint_step"] = False
     trainer = joint_loop.JointTrainer(exp, image_hw=(H, W),
                                       num_classes=NUM_CLASSES,
                                       render_cfg=RENDER_CFG,
