@@ -14,19 +14,19 @@ Reference surface being re-parameterized: the tcnn HashGrid config fixed at
 
 # encoding geometry (n_levels, n_features); the gate decision table lives in
 # PERFORMANCE.md. 16x2 is the reference geometry / round-4 incumbent.
-SHIPPED_NERF_ENC = (16, 2)
+SHIPPED_NERF_ENC = (8, 4)
 
 # forward estimator: False = exact trilinear, "face" = stratified
 # face-sampled fine levels, True = fully stochastic (the accel ladder)
 SHIPPED_NERF_SFWD = False
 
 # train-time sample budget (occupancy-guided coarse + importance)
-SHIPPED_TRAIN_BUDGET = (32, 32)
+SHIPPED_TRAIN_BUDGET = (24, 8)
 
 # coarse placement: False = binary occupancy weights, True = graded
 # grid-density proposal placement (ops/renderer.py proposal_placement —
 # lets the fine budget shrink; see the round-5 gate decision)
-SHIPPED_PROPOSAL = False
+SHIPPED_PROPOSAL = True
 
 
 def shipped_enc_str() -> str:
