@@ -47,6 +47,7 @@ def main():
 
     from ucsa_neural_rendering_tpu.config import (SHIPPED_NERF_ENC,
                                                   SHIPPED_NERF_SFWD,
+                                                  SHIPPED_PROPOSAL,
                                                   SHIPPED_TRAIN_BUDGET)
     from ucsa_neural_rendering_tpu.data.synthetic import \
         write_synthetic_scene_dir
@@ -84,7 +85,8 @@ def main():
         # bench ran the unconfigured RenderConfig() 256+256 budget, so
         # r2/r3 numbers (481-560 s) are NOT comparable to these
         "renderer": {"num_steps": SHIPPED_TRAIN_BUDGET[0],
-                     "upsample_steps": SHIPPED_TRAIN_BUDGET[1]},
+                     "upsample_steps": SHIPPED_TRAIN_BUDGET[1],
+                     "proposal_placement": SHIPPED_PROPOSAL},
         "nerf": {"use_occupancy": True, "bound": 1.0,
                  "n_levels": SHIPPED_NERF_ENC[0],
                  "n_features": SHIPPED_NERF_ENC[1],
@@ -136,6 +138,7 @@ def main():
                     "joint_epochs": args.joint_epochs,
                     "enc": f"{L}x{F}", "sfwd": str(SHIPPED_NERF_SFWD),
                     "train_budget": list(SHIPPED_TRAIN_BUDGET),
+                    "proposal": SHIPPED_PROPOSAL,
                     "coalesced": not args.no_coalesce,
                 },
             }, f, indent=2)

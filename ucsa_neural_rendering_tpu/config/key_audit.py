@@ -91,6 +91,9 @@ _ENTRY_CONSUMED = {
         "nerf.log2_hashmap_size", "nerf.stochastic_table_grad",
         "nerf.stochastic_fwd", "nerf.n_rays", "nerf.use_occupancy",
         "nerf.fused_image_step",
+        # round-5 dispatch-coalescing escape hatches (joint_loop.train
+        # scan_fit; joint_trainer.fused_joint_step — both default True)
+        "nerf.scan_epoch_fit", "nerf.fused_joint_step",
     },
     "finetune": {
         "scenes",
