@@ -178,3 +178,32 @@ def test_nerf_model_from_exp_plumbing():
 
     with pytest.raises(ValueError, match="stochastic_fwd"):
         nerf_model_from_exp({"nerf": {"stochastic_fwd": "fase"}}, 40)
+
+
+def test_shipped_yaml_blocks_match_shipped_py():
+    """The promoted defaults cannot drift apart across surfaces
+    (scripts/promote_shipped.py flips them together): every joint-entry
+    exp YAML's renderer/nerf blocks must resolve to exactly the
+    config/shipped.py values — budget, placement mode, and encoding.
+    This is the drift that silently de-promoted bench_pipeline once
+    (renderer block without proposal_placement)."""
+    from ucsa_neural_rendering_tpu.config import (SHIPPED_NERF_ENC,
+                                                  SHIPPED_NERF_SFWD,
+                                                  SHIPPED_PROPOSAL,
+                                                  SHIPPED_TRAIN_BUDGET)
+    from ucsa_neural_rendering_tpu.train.joint_loop import (
+        nerf_model_from_exp, render_cfgs_from_exp)
+
+    checked = 0
+    for rel, path, entry in _shipped_cfgs():
+        if entry != "joint":
+            continue
+        exp = yaml.safe_load(open(path))
+        rc, _, _ = render_cfgs_from_exp(exp)
+        assert (rc.num_steps, rc.upsample_steps) == SHIPPED_TRAIN_BUDGET, rel
+        assert rc.proposal_placement == SHIPPED_PROPOSAL, rel
+        m = nerf_model_from_exp(exp, num_classes=40)
+        assert (m.n_levels, m.n_features) == SHIPPED_NERF_ENC, rel
+        assert m.stochastic_fwd == SHIPPED_NERF_SFWD, rel
+        checked += 1
+    assert checked >= 12  # 10 one_step_joint + 2 multi_step
