@@ -373,30 +373,47 @@ def run_predict(trainer, nerf_state, seg_state, dataset, root_folder,
     """Predict dump (ref predict_step :714-782), `group` frames per
     dispatch: the phase renders hundreds of frames per stage and the axon
     host roundtrip is ~35 ms/dispatch, so frames batch through one staged
-    render + one seg forward per group instead of two dispatches each."""
+    render + one seg forward per group instead of two dispatches each.
+
+    PNG encoding (5 files/frame, cv2 releases the GIL) runs on a small
+    thread pool so it overlaps the NEXT group's device render instead of
+    idling the chip — round-5 pipeline lever (PERFORMANCE.md "Pipeline
+    wall-clock, round 5"). The queue is bounded so at most ~32 frames of
+    pixel buffers are held at once; any worker exception is re-raised."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     make_predict_dirs(root_folder)
     n = len(dataset)
-    for s in range(0, n, group):
-        items = [dataset[i] for i in range(s, min(s + group, n))]
-        poses = jnp.asarray(np.stack([it["pose"] for it in items]))
-        outs = trainer.render_frames(nerf_state[0], poses,
-                                     jnp.asarray(items[0]["intrinsics"]),
-                                     occ_grid, group=group, which="predict")
-        # seg input: the gt image, or the render itself for novel views
-        # (ref :717-720)
-        seg_in = jnp.asarray(np.stack([
-            np.zeros((trainer.H, trainer.W, 3), np.float32)
-            if it["viewpoint_is_novel"] else np.asarray(it["img"])
-            for it in items]))
-        novel = jnp.asarray(np.array(
-            [bool(it["viewpoint_is_novel"]) for it in items]))
-        seg_in = jnp.where(novel[:, None, None, None], outs["nerf_rgb"],
-                           seg_in)
-        seg_pred, _, _ = trainer.seg_infer(seg_state, seg_in)
-        for j, item in enumerate(items):
-            out = {k: v[j] for k, v in outs.items()}
-            out["seg_semantics"] = seg_pred[j]
-            write_predict_outputs(root_folder, item, out)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        pending = deque()
+        for s in range(0, n, group):
+            items = [dataset[i] for i in range(s, min(s + group, n))]
+            poses = jnp.asarray(np.stack([it["pose"] for it in items]))
+            outs = trainer.render_frames(nerf_state[0], poses,
+                                         jnp.asarray(items[0]["intrinsics"]),
+                                         occ_grid, group=group,
+                                         which="predict")
+            # seg input: the gt image, or the render itself for novel views
+            # (ref :717-720)
+            seg_in = jnp.asarray(np.stack([
+                np.zeros((trainer.H, trainer.W, 3), np.float32)
+                if it["viewpoint_is_novel"] else np.asarray(it["img"])
+                for it in items]))
+            novel = jnp.asarray(np.array(
+                [bool(it["viewpoint_is_novel"]) for it in items]))
+            seg_in = jnp.where(novel[:, None, None, None], outs["nerf_rgb"],
+                               seg_in)
+            seg_pred, _, _ = trainer.seg_infer(seg_state, seg_in)
+            for j, item in enumerate(items):
+                out = {k: v[j] for k, v in outs.items()}
+                out["seg_semantics"] = seg_pred[j]
+                pending.append(pool.submit(write_predict_outputs,
+                                           root_folder, item, out))
+            while len(pending) > 32:
+                pending.popleft().result()
+        while pending:
+            pending.popleft().result()
 
 
 def train(exp, env, args, exp_cfg_path=None, env_cfg_path=None,
