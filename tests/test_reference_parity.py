@@ -860,3 +860,189 @@ def test_semantics_meter_matches_reference():
     my_res = my_meter.measure()
     for a, b in zip(my_res, ref_res):
         assert abs(float(a) - float(b)) < 1e-9
+
+
+# ------------------------------------------------------- joint_step composite
+
+def test_joint_step_trajectory_matches_torch():
+    """Joint-phase COMPOSITE twin (the one block the per-piece twins above
+    don't cover end-to-end): 5 joint_step epochs vs a torch transcription
+    of the reference's `training_step_joint`
+    (ref joint_train_lightning_net.py:363-471) — the BN-trick pseudo-label
+    forward (seg eval but BatchNorm modules in train mode when batch > 1,
+    ref :373-379), the seg-batch assembly ORDER (augmented renders ⊕
+    old-scene replay ⊕ flattened 25k replay, ref :419-454), and the seg
+    Adam update with the reference's CE-on-softmax criterion (ref :37,
+    456-461), with BN running stats threading across epochs.
+
+    Both sides consume an identical scripted render stream and identity
+    augmentation: the render math has its own end-to-end twin
+    (test_renderer_run_matches_reference_end_to_end), the per-image NeRF
+    Adam updates have theirs (test_fit_trajectory_matches_torch), and the
+    augmentation RNG cannot be matched across frameworks — the composite
+    glue is exactly what this test pins. NeRF updates are no-ops on both
+    sides for the same reason (their only coupling into the seg trajectory
+    at fixed renders is the BN-trick forward, which stays real). Drives the
+    UNFUSED dispatch path; the fused default is bit-equal by
+    test_dispatch_coalescing.py."""
+    import torch.nn.functional as F
+    from torch import nn as tnn
+    from flax import linen as nn
+    import optax  # noqa: F401
+
+    from ucsa_neural_rendering_tpu.models import SemanticNeRF
+    from ucsa_neural_rendering_tpu.models.resnet import TorchBatchNorm
+    from ucsa_neural_rendering_tpu.ops.renderer import RenderConfig
+    from ucsa_neural_rendering_tpu.train.joint_trainer import JointTrainer
+
+    C, H, W = 5, 8, 10
+    B_NEW, B_OLD, N_STEPS = 2, 1, 5
+
+    class TinySegBN(nn.Module):
+        """DeepLab stand-in with torch-exact BN semantics (conv-BN-relu-conv)
+        and the seg-model interface joint_trainer drives."""
+        num_classes: int = C
+
+        @nn.compact
+        def __call__(self, x, use_running_average=True, deterministic=True):
+            h = nn.Conv(8, (3, 3), padding="SAME")(x)
+            h = TorchBatchNorm(use_running_average=use_running_average)(h)
+            h = nn.relu(h)
+            return {"out": nn.Conv(self.num_classes, (1, 1))(h)}
+
+    rng = np.random.default_rng(17)
+    w1 = rng.uniform(-0.3, 0.3, (8, 3, 3, 3)).astype(np.float32)
+    b1 = rng.uniform(-0.1, 0.1, 8).astype(np.float32)
+    g1 = rng.uniform(0.5, 1.5, 8).astype(np.float32)
+    beta1 = rng.uniform(-0.1, 0.1, 8).astype(np.float32)
+    w2 = rng.uniform(-0.3, 0.3, (C, 8, 1, 1)).astype(np.float32)
+    b2 = rng.uniform(-0.1, 0.1, C).astype(np.float32)
+
+    # scripted per-epoch streams (the render stream evolves per step, as the
+    # NeRF would): renders are argmax labels >= 0; old/CL labels include -1
+    new_imgs = rng.uniform(0, 1, (N_STEPS, B_NEW, H, W, 3)).astype(np.float32)
+    rend_rgb = rng.uniform(0, 1, (N_STEPS, B_NEW, H, W, 3)).astype(np.float32)
+    rend_sem = rng.integers(0, C, (N_STEPS, B_NEW, H, W)).astype(np.int32)
+    old_img = rng.uniform(0, 1, (B_OLD, H, W, 3)).astype(np.float32)
+    old_label = rng.integers(-1, C, (B_OLD, H, W)).astype(np.int32)
+    cl_img = rng.uniform(0, 1, (1, 2, H, W, 3)).astype(np.float32)
+    cl_label = rng.integers(-1, C, (1, 2, H, W)).astype(np.int32)
+
+    # ---- torch side: training_step_joint transcription -------------------
+    conv1 = tnn.Conv2d(3, 8, 3, padding=1)
+    tbn = tnn.BatchNorm2d(8, eps=1e-5, momentum=0.1)
+    conv2 = tnn.Conv2d(8, C, 1)
+    with torch.no_grad():
+        conv1.weight.copy_(torch.from_numpy(w1))
+        conv1.bias.copy_(torch.from_numpy(b1))
+        tbn.weight.copy_(torch.from_numpy(g1))
+        tbn.bias.copy_(torch.from_numpy(beta1))
+        conv2.weight.copy_(torch.from_numpy(w2))
+        conv2.bias.copy_(torch.from_numpy(b2))
+    t_params = (list(conv1.parameters()) + list(tbn.parameters())
+                + list(conv2.parameters()))
+    t_opt = torch.optim.Adam(t_params, lr=1e-3)
+
+    def t_forward(img_bhwc):
+        x = torch.from_numpy(img_bhwc.transpose(0, 3, 1, 2))
+        return conv2(torch.relu(tbn(conv1(x))))
+
+    t_rgb_cat = lambda t: np.concatenate(
+        [rend_rgb[t], old_img, cl_img.reshape(-1, H, W, 3)], 0)
+    t_lab_cat = lambda t: np.concatenate(
+        [rend_sem[t], old_label, cl_label.reshape(-1, H, W)], 0)
+
+    torch_losses = []
+    for t in range(N_STEPS):
+        # BN trick (ref :373-379): eval-mode pseudo-label forward with the
+        # BatchNorm modules switched to train (batch 2 > 1) — running stats
+        # update, normalization uses batch stats
+        tbn.train()
+        with torch.no_grad():
+            t_forward(new_imgs[t])
+        # (per-image NeRF Adam steps here in the reference — no-op twin)
+        # assembled seg batch, train-mode forward, CE on SOFTMAX (ref :37)
+        logits = t_forward(t_rgb_cat(t))
+        probs = F.softmax(logits, dim=1)
+        loss = F.cross_entropy(
+            probs, torch.from_numpy(t_lab_cat(t)).long(),
+            ignore_index=-1, reduction="none").mean()
+        t_opt.zero_grad()
+        loss.backward()
+        t_opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    # ---- our side: the real JointTrainer, unfused path -------------------
+    exp = {
+        "optimizer": {"name": "Adam", "lr_seg": 1e-3, "lr_nerf": 1e-2},
+        "nerf": {"fused_joint_step": False},
+        "parity": {"double_softmax": True},
+    }
+    tr = JointTrainer(
+        exp, image_hw=(H, W), num_classes=C, render_cfg=RenderConfig(),
+        nerf_model=SemanticNeRF(bound=1.0, num_semantic_classes=C,
+                                n_levels=2, log2_hashmap_size=10),
+        seg_model=TinySegBN(), n_rays=16)
+    nerf_state = tr.init_nerf(jax.random.key(0))
+    _, _, seg_opt = tr.init_seg(jax.random.key(1))
+    seg_params = {
+        "Conv_0": {"kernel": jnp.asarray(w1.transpose(2, 3, 1, 0)),
+                   "bias": jnp.asarray(b1)},
+        "TorchBatchNorm_0": {"scale": jnp.asarray(g1),
+                             "bias": jnp.asarray(beta1)},
+        "Conv_1": {"kernel": jnp.asarray(w2.transpose(2, 3, 1, 0)),
+                   "bias": jnp.asarray(b2)},
+    }
+    seg_stats = {"TorchBatchNorm_0": {"mean": jnp.zeros(8),
+                                      "var": jnp.ones(8)}}
+    seg_state = (seg_params, seg_stats, tr.seg_tx.init(seg_params))
+
+    step_holder = {"t": 0}
+    tr.render_frames = lambda *a, **kw: {
+        "nerf_rgb": jnp.asarray(rend_rgb[step_holder["t"]]),
+        "nerf_semantics": jnp.asarray(rend_sem[step_holder["t"]])}
+    tr._augment_rendered = lambda k, rgbs, labels: (rgbs, labels)
+    tr._nerf_update_all = lambda st, *a, **kw: (st, {})
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (B_NEW, 1, 1))
+    intrs = np.tile(np.array([20.0, 20.0, W / 2, H / 2], np.float32),
+                    (B_NEW, 1))
+    jax_losses = []
+    for t in range(N_STEPS):
+        step_holder["t"] = t
+        batch_new = {"img": new_imgs[t],
+                     "depth": np.ones((B_NEW, H, W), np.float32),
+                     "pose": poses, "intrinsics": intrs,
+                     "one_m_to_scene_uom": np.ones(B_NEW, np.float32)}
+        batch_old = {"img": old_img, "nerf_label": old_label}
+        batch_cl = {"replay_img": cl_img, "replay_label": cl_label}
+        nerf_state, seg_state, logs = tr.joint_step(
+            nerf_state, seg_state, batch_old, batch_new, batch_cl,
+            jax.random.key(100 + t))
+        jax_losses.append(float(logs["loss_seg"]))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=3e-4)
+    # BN running stats after 5 epochs of trick-forward + train-forward
+    # (2 updates/epoch); tolerance absorbs compounded fp drift
+    np.testing.assert_allclose(
+        np.asarray(seg_state[1]["TorchBatchNorm_0"]["mean"]),
+        tbn.running_mean.detach().numpy(), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(seg_state[1]["TorchBatchNorm_0"]["var"]),
+        tbn.running_var.detach().numpy(), rtol=5e-3, atol=2e-3)
+    # eval-mode agreement of the trained models on a fresh frame
+    probe = rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32)
+    tbn.eval()
+    conv1.eval()
+    conv2.eval()
+    with torch.no_grad():
+        t_eval = t_forward(probe)
+    pred, _, _ = tr.seg_infer(seg_state, jnp.asarray(probe), update_bn=False)
+    variables = {"params": seg_state[0], "batch_stats": seg_state[1]}
+    j_eval = tr.seg_model.apply(variables, jnp.asarray(probe),
+                                use_running_average=True,
+                                deterministic=True)["out"]
+    np.testing.assert_allclose(
+        np.asarray(j_eval), t_eval.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-2, atol=5e-3)
+    assert (np.asarray(pred)[0] == t_eval.numpy().argmax(1)[0]).mean() > 0.98
