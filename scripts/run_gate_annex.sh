@@ -6,9 +6,14 @@
 # as scripts/run_gate_r5c.sh; separate BASE/SYNC so the main 3-seed
 # decision artifacts (gate_r5/decision.json) are never overwritten.
 #
-# After it completes, the combined 5-seed verdict:
-#   python scripts/gate_decision.py /tmp/ucsa_gate_r5/seed123,/tmp/ucsa_gate_r5/seed7,/tmp/ucsa_gate_r5/seed21,/tmp/ucsa_gate_annex/seed31,/tmp/ucsa_gate_annex/seed57 \
+# After it completes, the combined 5-seed verdict (runs entirely off the
+# repo-synced roots — /tmp does not survive sessions on this host):
+#   python scripts/gate_decision.py gate_r5/seed123,gate_r5/seed7,gate_r5/seed21,gate_r5/annex/seed31,gate_r5/annex/seed57 \
 #     > gate_r5/decision_5seed.json
+#
+# Seed-MAJOR order: seed 31 finishes all three arms before seed 57 starts,
+# so a chain cut short by the round boundary still yields a full 4-seed
+# decision across every arm instead of 5-seed data for one arm only.
 #
 # /tmp/gate.stop halts between phases; resumes from per-phase .ok files.
 set -u
@@ -46,9 +51,11 @@ run() {
 }
 
 sync_reports() {
+  # same layout gate_decision.py expects (root/experiments/report_*.json)
   for s in $SEEDS; do
-    mkdir -p "$SYNC/seed$s"
-    cp "$BASE/seed$s/experiments/"report_*.json "$SYNC/seed$s/" 2>/dev/null
+    mkdir -p "$SYNC/seed$s/experiments"
+    cp "$BASE/seed$s/experiments/"report_*.json "$SYNC/seed$s/experiments/" \
+      2>/dev/null
   done
 }
 
@@ -59,11 +66,8 @@ common_for() {
 for s in $SEEDS; do
   run "data_s$s"     python scripts/exp_synthetic_cl.py $(common_for $s) --phase data     || exit 1
   run "pretrain_s$s" python scripts/exp_synthetic_cl.py $(common_for $s) --phase pretrain || exit 1
-done
-
-for armtag in $ARMS; do
-  extra=$(arm_args $armtag) || exit 1
-  for s in $SEEDS; do
+  for armtag in $ARMS; do
+    extra=$(arm_args $armtag) || exit 1
     for i in 0 1 2; do
       run "${armtag}_seed${s}_s$i" python scripts/exp_synthetic_cl.py \
         $(common_for $s) $extra --phase stage --stage-idx $i || exit 1
